@@ -1,0 +1,166 @@
+"""Trainer CLI — `python -m tlsan_tpu.train.cli --model tlsan --dataset Digital_Music`.
+
+Replaces the reference's nine per-model `train.py` flag scripts (e.g.
+TLSAN/train.py:26-57) with one entry point: loads the preprocessed category
+pickle, builds the model's example set (the right windowing scheme), packs it
+into static shapes, and runs the Trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Tuple
+
+import numpy as np
+
+from tlsan_tpu.core.config import ModelConfig, TrainConfig
+from tlsan_tpu.data import (
+    build_pairwise_examples,
+    build_prefix_examples,
+    build_session_examples,
+    load_category,
+    pack_prefix_test,
+    pack_prefix_train,
+    pack_session_test,
+    pack_session_train,
+)
+from tlsan_tpu.data.batcher import Batches
+from tlsan_tpu.models import get_model
+from tlsan_tpu.train.loop import Trainer
+
+
+def _round8(n: int) -> int:
+    return max(8, ((n + 7) // 8) * 8)
+
+
+def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
+            ) -> Tuple[Batches, Batches, np.ndarray, ModelConfig]:
+    """Build + pack the example set for one model family."""
+    reviews_df, meta_df, cate_list, counts = load_category(data_path)
+    cfg = cfg.with_counts(counts)
+
+    if model_name in ("tlsan", "shan", "paca"):
+        train_set, test_set = build_session_examples(
+            reviews_df, cate_list, counts.item_count,
+            variant=model_name, max_length=cfg.max_length, seed=seed)
+        if model_name == "tlsan":
+            Ls = cfg.Ls  # fixed window (TLSAN/train.py:36)
+        else:
+            Ls = max(
+                max((len(t[1]) for t in train_set), default=1),
+                max((len(t[1]) for t in test_set), default=1))
+        sess_max = max(
+            max((len(t[2]) for t in train_set), default=1),
+            max((len(t[2]) for t in test_set), default=1),
+        ) if model_name != "paca" else 1
+        Ts = _round8(sess_max)
+        if model_name != "tlsan":
+            Ls = _round8(Ls)
+        cfg = dataclasses.replace(cfg, Ls=Ls, Ts=Ts)
+        train_b = pack_session_train(train_set, Ls, Ts, model_name)
+        test_b = pack_session_test(test_set, Ls, Ts, model_name)
+        return train_b, test_b, cate_list, cfg
+
+    if model_name in ("atrank", "cnn", "csan", "bilstm", "lspm"):
+        time_mode = {"atrank": "bucket", "cnn": "bucket",
+                     "csan": "raw", "bilstm": "none", "lspm": "none"}[model_name]
+        max_length = 80 if model_name == "cnn" else cfg.max_length
+        pack_pair = model_name == "lspm"
+        train_set, test_set = build_prefix_examples(
+            reviews_df, counts.item_count, time_mode=time_mode,
+            max_length=max_length, pack_pos_neg=pack_pair, seed=seed)
+        if model_name == "lspm":
+            T = cfg.lspm_k  # fixed right-aligned window (LSPM/input.py:30-37)
+            align = "right"
+        else:
+            T = _round8(max(
+                max((len(t[1]) for t in train_set), default=1),
+                max((len(t[1]) for t in test_set), default=1)))
+            align = "left"
+        cfg = dataclasses.replace(cfg, max_length=T)
+        with_time = time_mode != "none"
+        tdt = np.float32 if model_name == "csan" else np.int32
+        train_b = pack_prefix_train(train_set, T, with_time=with_time,
+                                    pack_pos_neg=pack_pair, align=align, time_dtype=tdt)
+        test_b = pack_prefix_test(test_set, T, with_time=with_time,
+                                  align=align, time_dtype=tdt)
+        return train_b, test_b, cate_list, cfg
+
+    if model_name == "bpr":
+        train_arr, test_arr = build_pairwise_examples(
+            reviews_df, counts.item_count, seed=seed)
+        train_b = Batches(dict(u=train_arr[:, 0], i=train_arr[:, 1],
+                               j=train_arr[:, 2]), len(train_arr))
+        test_b = Batches(dict(u=test_arr[:, 0], i=test_arr[:, 1],
+                              j=test_arr[:, 2]), len(test_arr))
+        return train_b, test_b, cate_list, cfg
+
+    raise ValueError(f"unknown model {model_name}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="tlsan",
+                   choices=["tlsan", "atrank", "shan", "csan", "lspm",
+                            "paca", "cnn", "bilstm", "bpr"])
+    p.add_argument("--dataset", default="Digital_Music")
+    p.add_argument("--data_dir", default="Data")
+    p.add_argument("--model_dir", default=None)
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--train_batch_size", type=int, default=32)
+    p.add_argument("--test_batch_size", type=int, default=128)
+    p.add_argument("--learning_rate", type=float, default=1.0)
+    p.add_argument("--optimizer", default="sgd")
+    p.add_argument("--lr_drop_step", type=int, default=None)
+    p.add_argument("--steps_per_call", type=int, default=100)
+    p.add_argument("--eval_freq", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--from_scratch", action="store_true", default=True)
+    p.add_argument("--resume", dest="from_scratch", action="store_false")
+    args = p.parse_args(argv)
+
+    # per-model reference defaults (SURVEY.md §2.6)
+    default_epochs = {"tlsan": 20, "atrank": 10, "csan": 20, "lspm": 10,
+                      "paca": 70, "shan": 40, "cnn": 20, "bilstm": 20, "bpr": 20}
+    default_drop = {"tlsan": 150_000, "atrank": 270_000, "csan": 270_000,
+                    "cnn": 540_000, "lspm": 150_000, "paca": 150_000,
+                    "shan": 150_000, "bilstm": 270_000, "bpr": 10**9}
+    hidden = {"csan": 32}.get(args.model, 64)
+
+    cfg = ModelConfig(model=args.model, hidden_units=hidden)
+    tc = TrainConfig(
+        dataset=args.dataset,
+        data_dir=args.data_dir,
+        model_dir=args.model_dir or f"save_{args.model}_{args.dataset}",
+        from_scratch=args.from_scratch,
+        optimizer=args.optimizer,
+        learning_rate=args.learning_rate,
+        lr_drop_step=args.lr_drop_step or default_drop[args.model],
+        train_batch_size=args.train_batch_size,
+        test_batch_size=args.test_batch_size,
+        max_epochs=args.max_epochs or default_epochs[args.model],
+        eval_freq=args.eval_freq,
+        steps_per_call=args.steps_per_call,
+        seed=args.seed,
+    )
+
+    data_path = os.path.join(args.data_dir, f"{args.dataset}.pkl")
+    train_b, test_b, cate_list, cfg = prepare(args.model, data_path, cfg, args.seed)
+    print(f"model={args.model} dataset={args.dataset} "
+          f"train={train_b.n} test={test_b.n} "
+          f"users={cfg.user_count} items={cfg.item_count} cates={cfg.cate_count}",
+          flush=True)
+
+    model = get_model(args.model)
+    trainer = Trainer(model, cfg, tc, cate_list, train_b, test_b,
+                      use_pallas=not args.no_pallas)
+    best = trainer.train()
+    print(f"best: {best}", flush=True)
+    return best
+
+
+if __name__ == "__main__":
+    main()

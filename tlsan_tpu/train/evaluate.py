@@ -1,0 +1,114 @@
+"""Evaluation: pairwise AUC and P@k/R@k over the full catalog.
+
+Fixes two reference inefficiencies/quirks while preserving semantics:
+  - AUC runs ONE forward pass per batch (the reference runs two separate
+    sess.runs that recompute the identical user tower — TLSAN/model.py:239-261);
+  - P@k/R@k counters reset at the start of every evaluation (the reference's
+    streaming tf.metrics counters accumulate across the whole run and are
+    only reset on restore — TLSAN/train.py:75-76; documented deviation).
+
+P@k with a single relevant label equals hit/k and R@k equals hit, matching
+tf.metrics.precision_at_k / recall_at_k with one label id
+(reference: TLSAN/model.py:142-156).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tlsan_tpu.data.batcher import Batches, pad_to_multiple
+
+TOPK_KS = (1, 10, 20, 30, 40, 50)
+
+
+def _device_data(batches: Batches, batch_size: int) -> Tuple[Dict, int]:
+    padded = pad_to_multiple(batches, batch_size)
+    n_batches = padded.n // batch_size
+    data = {
+        k: jnp.asarray(v.reshape((n_batches, batch_size) + v.shape[1:]))
+        for k, v in padded.arrays.items()
+    }
+    return data, n_batches
+
+
+def make_auc_fn(model, cfg, cate_list, use_pallas: bool = True):
+    """Returns auc(params, test_batches_on_device) → weighted AUC over users
+    (reference: TLSAN/train.py:86-96 weights batch AUC by batch size)."""
+
+    @jax.jit
+    def auc(params, data):
+        def body(carry, batch):
+            wins_sum, n = carry
+            pos, neg = model.pair_logits(params, batch, cate_list, cfg, use_pallas)
+            v = batch["valid"].astype(jnp.float32)
+            wins = ((pos - neg) > 0).astype(jnp.float32)
+            return (wins_sum + jnp.sum(wins * v), n + jnp.sum(v)), None
+
+        (wins_sum, n), _ = jax.lax.scan(body, (0.0, 0.0), data)
+        return wins_sum / jnp.maximum(n, 1.0)
+
+    return auc
+
+
+def make_topk_fn(model, cfg, cate_list, use_pallas: bool = True):
+    """Returns topk(params, data) → dict of P@k / R@k for k in TOPK_KS.
+
+    Per batch: full-catalog logits [B, I] on the MXU, top-50 indices, rank of
+    the positive label, hit@k accumulation.
+    """
+    max_k = max(TOPK_KS)
+
+    @jax.jit
+    def topk(params, data):
+        def body(carry, batch):
+            hits_sum, n = carry
+            logits = model.eval_logits(params, batch, cate_list, cfg, use_pallas)
+            _, top_idx = jax.lax.top_k(logits, max_k)  # [B, 50]
+            label = batch["i"][:, None]
+            match = top_idx == label  # [B, 50]
+            # rank of the hit (max_k if absent)
+            rank = jnp.where(
+                jnp.any(match, axis=1),
+                jnp.argmax(match, axis=1),
+                max_k,
+            )
+            v = batch["valid"].astype(jnp.float32)
+            hits = jnp.stack(
+                [jnp.sum((rank < k).astype(jnp.float32) * v) for k in TOPK_KS])
+            return (hits_sum + hits, n + jnp.sum(v)), None
+
+        (hits_sum, n), _ = jax.lax.scan(
+            body, (jnp.zeros(len(TOPK_KS)), 0.0), data)
+        n = jnp.maximum(n, 1.0)
+        recall = hits_sum / n
+        prec = jnp.stack([recall[i] / k for i, k in enumerate(TOPK_KS)])
+        return prec, recall
+
+    return topk
+
+
+class Evaluator:
+    """Holds the device-resident padded test set and the jitted eval fns."""
+
+    def __init__(self, model, cfg, cate_list, test_batches: Batches,
+                 batch_size: int, use_pallas: bool = True):
+        self.data, self.n_batches = _device_data(test_batches, batch_size)
+        self._auc = make_auc_fn(model, cfg, cate_list, use_pallas)
+        self._topk = make_topk_fn(model, cfg, cate_list, use_pallas)
+
+    def auc(self, params) -> float:
+        return float(self._auc(params, self.data))
+
+    def topk(self, params) -> Dict[str, float]:
+        prec, recall = self._topk(params, self.data)
+        prec, recall = np.asarray(prec), np.asarray(recall)
+        out = {}
+        for i, k in enumerate(TOPK_KS):
+            out[f"P@{k}"] = float(prec[i])
+            out[f"R@{k}"] = float(recall[i])
+        return out
