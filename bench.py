@@ -1,0 +1,165 @@
+"""Benchmark: TLSAN training throughput (examples/s) on the default backend.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+
+`vs_baseline` compares against a reference-architecture emulation measured on
+the same machine's host CPU: one optimizer step per dispatch with per-step
+host→device batch feeds — the TF1.8 feed_dict execution model of
+TLSAN/model.py:229 (sess.run per batch) — since the reference publishes no
+throughput numbers (BASELINE.md).  The TPU path runs the same model/optimizer
+with the framework's fused multi-step scan and device-resident data.
+
+Usage: python bench.py [--dataset Digital_Music] [--batch 32] [--steps 2000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def load_packed(dataset: str, data_dir: str):
+    """Build + pack the TLSAN train set, cached as npz next to the repo."""
+    import numpy as np
+
+    cache = f".bench_cache_{dataset}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return {k: z[k] for k in z.files if k != "cate_list"}, z["cate_list"]
+
+    from tlsan_tpu.core.config import ModelConfig
+    from tlsan_tpu.train.cli import prepare
+
+    cfg = ModelConfig(model="tlsan")
+    train_b, _, cate_list, cfg = prepare(
+        "tlsan", os.path.join(data_dir, f"{dataset}.pkl"), cfg)
+    np.savez(cache, cate_list=cate_list, **train_b.arrays)
+    return train_b.arrays, cate_list
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="Digital_Music")
+    p.add_argument("--data_dir", default="/root/reference/Data")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--steps_per_call", type=int, default=200)
+    p.add_argument("--baseline_steps", type=int, default=200)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tlsan_tpu.core.config import ModelConfig, TrainConfig
+    from tlsan_tpu.models.tlsan import TLSAN
+    from tlsan_tpu.train.state import make_optimizer
+
+    arrays, cate_list_np = load_packed(args.dataset, args.data_dir)
+    n = len(arrays["u"])
+    counts = dict(
+        user_count=int(arrays["u"].max()) + 1,
+        item_count=len(cate_list_np),
+        cate_count=int(cate_list_np.max()) + 1,
+    )
+    cfg = ModelConfig(model="tlsan", Ls=arrays["hist_i"].shape[1],
+                      Ts=arrays["hist_i_new"].shape[1], **counts)
+    tc = TrainConfig(steps_per_call=args.steps_per_call,
+                     train_batch_size=args.batch)
+    log(f"dataset={args.dataset} n={n} {counts} backend={jax.default_backend()}")
+
+    use_pallas = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+
+    # ---------------- fused TPU path: device-resident data + scan ----------
+    data = {k: jnp.asarray(v) for k, v in arrays.items()}
+    cate_list = jnp.asarray(cate_list_np)
+    opt = make_optimizer(tc)
+    params = TLSAN.init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, b):
+        return TLSAN.loss(p, b, cate_list, cfg, use_pallas)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_chunk(params, opt_state, idx):
+        def step(carry, ib):
+            params, opt_state = carry
+            batch = {k: v[ib] for k, v in data.items()}
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), idx)
+        return params, opt_state, losses[-1]
+
+    K, B = args.steps_per_call, args.batch
+    idx = jnp.asarray(rng.integers(0, n, (K, B)), jnp.int32)
+    # warmup/compile
+    params, opt_state, _ = train_chunk(params, opt_state, idx)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.steps:
+        params, opt_state, l = train_chunk(params, opt_state, idx)
+        done += K
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    fused_eps = done * B / dt
+    log(f"fused: {done} steps in {dt:.3f}s -> {fused_eps:,.0f} examples/s "
+        f"(loss {float(l):.4f})")
+
+    # ------------- baseline: reference-architecture emulation on CPU -------
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params_c = TLSAN.init_params(jax.random.PRNGKey(0), cfg)
+        opt_state_c = opt.init(params_c)
+        cate_list_c = jnp.asarray(cate_list_np)
+
+        def loss_fn_c(p, b):
+            return TLSAN.loss(p, b, cate_list_c, cfg, use_pallas=False)
+
+        @jax.jit
+        def one_step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(loss_fn_c)(params, batch)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        host = {k: np.asarray(v) for k, v in arrays.items()}
+
+        def feed(step_i):
+            sl = slice((step_i * B) % (n - B), (step_i * B) % (n - B) + B)
+            # per-step host batch materialization + transfer ≙ feed_dict
+            return {k: jnp.asarray(v[sl]) for k, v in host.items()}
+
+        params_c, opt_state_c, _ = one_step(params_c, opt_state_c, feed(0))
+        jax.block_until_ready(params_c)
+        t0 = time.perf_counter()
+        for s in range(args.baseline_steps):
+            params_c, opt_state_c, _ = one_step(params_c, opt_state_c, feed(s))
+        jax.block_until_ready(params_c)
+        dt = time.perf_counter() - t0
+    base_eps = args.baseline_steps * B / dt
+    log(f"baseline (per-step CPU): {args.baseline_steps} steps in {dt:.3f}s "
+        f"-> {base_eps:,.0f} examples/s")
+
+    print(json.dumps({
+        "metric": f"tlsan_train_examples_per_sec_{args.dataset}_b{B}",
+        "value": round(fused_eps, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(fused_eps / base_eps, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

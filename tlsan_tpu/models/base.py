@@ -29,6 +29,10 @@ def full_catalog_logits(u_repr, all_emb, all_b=None):
         u_repr, all_emb,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # f32 inputs: the session default truncates to bf16, which perturbs
+        # top-k ranking and the pos/neg AUC comparison; at [B,64]×[64,I]
+        # this matmul is far from the step's critical path
+        precision="highest",
     )
     if all_b is not None:
         logits = logits + all_b

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from tlsan_tpu.core.config import ModelConfig
 from tlsan_tpu.models import base
+from tlsan_tpu.nn.embedding import lookup
 from tlsan_tpu.nn.init import glorot_uniform
 from tlsan_tpu.ops.feature_attention import (
     feature_wise_attention,
@@ -79,9 +80,10 @@ class TLSAN:
 
     @staticmethod
     def _embed_items(params, ids, cate_list):
-        """item⊕cate embedding of an id tensor (TLSAN/model.py:84-87)."""
-        ie = params["item_emb"][ids]
-        ce = params["cate_emb"][cate_list[ids]]
+        """item⊕cate embedding of an id tensor (TLSAN/model.py:84-87).
+        `lookup` dispatches replicated vs. row-sharded tables."""
+        ie = lookup(params["item_emb"], ids)
+        ce = lookup(params["cate_emb"], cate_list[ids])
         return jnp.concatenate([ie, ce], axis=-1)
 
     @staticmethod
@@ -92,10 +94,10 @@ class TLSAN:
         sl, sl_new = batch["sl"], batch["sl_new"]
 
         u_emb = jnp.concatenate(
-            [params["user_emb"][u], params["cate_emb"][c]], axis=-1)
+            [lookup(params["user_emb"], u), lookup(params["cate_emb"], c)], axis=-1)
 
         # personalized time-interval positional matrix (TLSAN/model.py:98-109)
-        ut = params["usert_emb"][u] * hist_t  # [B, Ls]
+        ut = lookup(params["usert_emb"], u) * hist_t  # [B, Ls]
         h = TLSAN._embed_items(params, hist_i, cate_list)
         h = h * (params["gamma"] * ut)[..., None]
         h_new = TLSAN._embed_items(params, hist_i_new, cate_list)
@@ -108,7 +110,7 @@ class TLSAN:
         for blk in params["long"]:
             enc = att(enc, sl, cfg.num_heads,
                       blk["w1"], blk["b1"], blk["w2"], blk["b2"])
-            enc = enc @ blk["proj_w"] + blk["proj_b"]
+            enc = jnp.dot(enc, blk["proj_w"], precision="highest") + blk["proj_b"]
             enc = enc[:, None, :]  # 1-step pseudo-item
 
         # short-term tower (TLSAN/model.py:349-364): pseudo-item prepended,
@@ -123,7 +125,7 @@ class TLSAN:
 
     @staticmethod
     def item_repr(params, ids, cate_list, cfg: ModelConfig):
-        return TLSAN._embed_items(params, ids, cate_list), params["item_b"][ids]
+        return TLSAN._embed_items(params, ids, cate_list), lookup(params["item_b"], ids)
 
     @staticmethod
     def all_item_repr(params, cate_list, cfg: ModelConfig):

@@ -38,8 +38,12 @@ def feature_wise_attention_reference(x, lengths, num_heads, w1, b1, w2, b2,
     B, S, D = x.shape
     dh = D // num_heads
     x4 = x.reshape(B, S, num_heads, dh)
-    m1 = jax.nn.relu(jnp.einsum("bshd,de->bshe", x4, w1) + b1)
-    m2 = jnp.einsum("bshd,de->bshe", m1, w2) + b2
+    # precision='highest': keep the tiny [dh,dh] maps in true f32 — the
+    # session default truncates matmul inputs to bf16, and at 8×8 the MXU
+    # saving is nil while the reference (TF f32) semantics matter
+    m1 = jax.nn.relu(
+        jnp.einsum("bshd,de->bshe", x4, w1, precision="highest") + b1)
+    m2 = jnp.einsum("bshd,de->bshe", m1, w2, precision="highest") + b2
     mask = sequence_mask(lengths, S)  # [B, S]
     m2 = additive_neg_mask(m2, mask[:, :, None, None])
     soft = jax.nn.softmax(m2, axis=1)

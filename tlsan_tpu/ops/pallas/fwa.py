@@ -1,0 +1,129 @@
+"""Fused Pallas TPU kernel for TLSAN's feature-wise multi-head attention.
+
+Semantics = ops/feature_attention.py reference (which mirrors
+TLSAN/model.py:370-394).  Fusion strategy:
+
+  - the per-head [dh, dh] dense maps are lifted to one block-diagonal
+    [D, D] matmul (head h occupies the diagonal block h), so the whole
+    map1/map2 stage is a single MXU contraction over [TB·S, D] instead of
+    H tiny 8×8 matmuls;
+  - mask + softmax-over-time + weighted reduce run on the VPU in VMEM;
+    x is read from HBM exactly once and only the [B, D] output is written
+    back — no map1/map2/soft intermediates ever hit HBM.
+
+Backward: custom VJP that rematerializes through the jnp reference
+implementation (same numerics, XLA-fused); a hand-written backward kernel is
+an optimization left on the table (the op is ~1% of step FLOPs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tlsan_tpu.nn.masks import VERY_NEGATIVE_NUMBER
+
+
+def _fwa_kernel(x_ref, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+                *, num_heads: int):
+    TB, S, D = x_ref.shape
+    x = x_ref[:]                      # [TB, S, D]
+    x2 = x.reshape(TB * S, D)
+    # block-diagonal dense maps: one MXU pass each
+    # precision HIGHEST: keep true f32 on the MXU (the default truncates
+    # inputs to bf16, which breaks parity with the TF f32 reference)
+    m1 = jnp.maximum(
+        jnp.dot(x2, w1_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        + b1_ref[:], 0.0)
+    m2 = (jnp.dot(m1, w2_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+          + b2_ref[:]).reshape(TB, S, D)
+    # additive mask on padded time positions
+    pos = jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+    mask = pos < len_ref[:]           # [TB, S]
+    m2 = m2 + (1.0 - mask.astype(jnp.float32))[:, :, None] * VERY_NEGATIVE_NUMBER
+    # softmax over the time axis per feature
+    mx = jnp.max(m2, axis=1, keepdims=True)
+    e = jnp.exp(m2 - mx)
+    soft = e / jnp.sum(e, axis=1, keepdims=True)
+    out_ref[:] = jnp.sum(soft * x, axis=1)
+
+
+def _block_diag(w, num_heads: int):
+    """[dh, dh] per-head map → [D, D] block-diagonal matrix."""
+    dh = w.shape[0]
+    D = dh * num_heads
+    eye = jnp.eye(num_heads, dtype=w.dtype)
+    # out[h*dh+i, g*dh+j] = w[i, j] if h == g else 0
+    return (eye[:, None, :, None] * w[None, :, None, :]).reshape(D, D)
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fwa_pallas(x, lengths, num_heads, w1, b1, w2, b2):
+    return _fwa_forward(x, lengths, num_heads, w1, b1, w2, b2)
+
+
+def _fwa_forward(x, lengths, num_heads, w1, b1, w2, b2):
+    B, S, D = x.shape
+    w1bd = _block_diag(w1, num_heads)
+    w2bd = _block_diag(w2, num_heads)
+    b1t = jnp.tile(b1, num_heads)[None, :]   # [1, D]
+    b2t = jnp.tile(b2, num_heads)[None, :]
+
+    TB = min(_round_up(B, 8), 512)
+    grid = (pl.cdiv(B, TB),)
+    lengths2 = lengths.astype(jnp.int32)[:, None]  # [B, 1]
+
+    out = pl.pallas_call(
+        functools.partial(_fwa_kernel, num_heads=num_heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, S, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * S * D * D // num_heads + 6 * B * S * D,
+            bytes_accessed=4 * (B * S * D + B * D + 2 * D * D),
+            transcendentals=B * S * D,
+        ),
+    )(x, lengths2, w1bd, b1t, w2bd, b2t)
+    return out
+
+
+def _fwa_fwd(x, lengths, num_heads, w1, b1, w2, b2):
+    out = _fwa_forward(x, lengths, num_heads, w1, b1, w2, b2)
+    return out, (x, lengths, w1, b1, w2, b2)
+
+
+def _fwa_bwd(num_heads, res, g):
+    # rematerialize through the jnp reference (identical semantics)
+    from tlsan_tpu.ops.feature_attention import feature_wise_attention_reference
+
+    x, lengths, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x, w1, b1, w2, b2: feature_wise_attention_reference(
+            x, lengths, num_heads, w1, b1, w2, b2),
+        x, w1, b1, w2, b2)
+    dx, dw1, db1, dw2, db2 = vjp(g)
+    return dx, None, dw1, db1, dw2, db2
+
+
+fwa_pallas.defvjp(_fwa_fwd, _fwa_bwd)

@@ -1,0 +1,74 @@
+"""Sharded training API: place state on a (dp, mp) mesh and build the jitted
+multi-chip train step.
+
+Data-parallel over dp (batch sharded, XLA psums the grads), vocab-sharded
+tables over mp with the explicit shard_map gather (nn/embedding.py context).
+Single-chip training uses train/loop.py; this module is the multi-chip path,
+validated on a virtual CPU mesh (tests/test_parallel.py, __graft_entry__.py).
+"""
+
+from __future__ import annotations
+
+from contextlib import nullcontext
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tlsan_tpu.core.config import ModelConfig, TrainConfig
+from tlsan_tpu.nn import embedding
+from tlsan_tpu.parallel.mesh import data_shardings, param_shardings, replicated
+from tlsan_tpu.train.state import make_optimizer
+
+
+def shard_train_state(mesh, params, opt_state, vocab_sharded: bool = True):
+    """Place params/opt_state on the mesh: tables row-sharded over mp, dense
+    weights replicated; opt_state mirrors params leaf-for-leaf."""
+    p_sh = param_shardings(mesh, params, vocab_sharded)
+    params = jax.device_put(params, p_sh)
+    # optimizer state leaves that mirror a param shape (adam/rmsprop moments)
+    # get that param's sharding; scalars (clip/schedule counters) replicate
+    def opt_leaf_sharding(leaf):
+        for p, s in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p_sh)):
+            if jnp.shape(leaf) == jnp.shape(p) and jnp.shape(leaf) != ():
+                return s
+        return replicated(mesh)
+
+    o_sh = jax.tree_util.tree_map(opt_leaf_sharding, opt_state)
+    opt_state = jax.device_put(opt_state, o_sh)
+    return params, opt_state
+
+
+def shard_batch(mesh, batch):
+    return jax.device_put(batch, data_shardings(mesh, batch))
+
+
+def make_sharded_train_step(model, cfg: ModelConfig, tc: TrainConfig,
+                            cate_list, mesh, vocab_sharded: bool = True,
+                            use_pallas: bool = False):
+    """Returns step(params, opt_state, batch) -> (params, opt_state, loss),
+    jitted over the mesh.  Call with state placed by shard_train_state and
+    batches by shard_batch; XLA SPMD inserts dp-psums for replicated-param
+    grads, and the embedding gathers run the explicit mp collectives."""
+    opt = make_optimizer(tc)
+    cate_list = jax.device_put(jnp.asarray(cate_list), replicated(mesh))
+
+    def loss_fn(params, batch):
+        return model.loss(params, batch, cate_list, cfg, use_pallas)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def _step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def step(params, opt_state, batch):
+        ctx = embedding.vocab_sharded(mesh) if vocab_sharded else nullcontext()
+        with ctx:  # context governs trace-time lookup dispatch
+            return _step(params, opt_state, batch)
+
+    return step

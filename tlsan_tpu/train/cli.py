@@ -45,12 +45,13 @@ def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
         train_set, test_set = build_session_examples(
             reviews_df, cate_list, counts.item_count,
             variant=model_name, max_length=cfg.max_length, seed=seed)
+        hist_idx = 0 if model_name == "paca" else 1
         if model_name == "tlsan":
             Ls = cfg.Ls  # fixed window (TLSAN/train.py:36)
         else:
             Ls = max(
-                max((len(t[1]) for t in train_set), default=1),
-                max((len(t[1]) for t in test_set), default=1))
+                max((len(t[hist_idx]) for t in train_set), default=1),
+                max((len(t[hist_idx]) for t in test_set), default=1))
         sess_max = max(
             max((len(t[2]) for t in train_set), default=1),
             max((len(t[2]) for t in test_set), default=1),
@@ -58,6 +59,9 @@ def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
         Ts = _round8(sess_max)
         if model_name != "tlsan":
             Ls = _round8(Ls)
+        if model_name == "paca":
+            # position_w covers max_len positions (PACA/model.py:44-46)
+            Ls = min(Ls, cfg.paca_max_len)
         cfg = dataclasses.replace(cfg, Ls=Ls, Ts=Ts)
         train_b = pack_session_train(train_set, Ls, Ts, model_name)
         test_b = pack_session_test(test_set, Ls, Ts, model_name)

@@ -68,7 +68,9 @@ def make_topk_fn(model, cfg, cate_list, use_pallas: bool = True):
         def body(carry, batch):
             hits_sum, n = carry
             logits = model.eval_logits(params, batch, cate_list, cfg, use_pallas)
-            _, top_idx = jax.lax.top_k(logits, max_k)  # [B, 50]
+            # catalogs smaller than 50 (tiny tests) clamp k
+            k_eff = min(max_k, logits.shape[1])
+            _, top_idx = jax.lax.top_k(logits, k_eff)  # [B, ≤50]
             label = batch["i"][:, None]
             match = top_idx == label  # [B, 50]
             # rank of the hit (max_k if absent)
