@@ -1,0 +1,102 @@
+"""Cross-model contract tests: every family initializes, runs the forward
+pass, produces finite loss and gradients, and scores the full catalog."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tlsan_tpu.core.config import ModelConfig
+from tlsan_tpu.models import get_model
+
+USERS, ITEMS, CATES, B = 20, 30, 5, 4
+
+
+def make_batch(model_name, rng):
+    batch = {
+        "u": jnp.asarray(rng.integers(0, USERS, B), jnp.int32),
+        "i": jnp.asarray(rng.integers(0, ITEMS, B), jnp.int32),
+        "j": jnp.asarray(rng.integers(0, ITEMS, B), jnp.int32),
+        "y": jnp.asarray(rng.integers(0, 2, B), jnp.float32),
+    }
+    if model_name == "tlsan":
+        batch.update(
+            c=jnp.asarray(rng.integers(0, CATES, B), jnp.int32),
+            hist_i=jnp.asarray(rng.integers(0, ITEMS, (B, 10)), jnp.int32),
+            hist_t=jnp.asarray(rng.uniform(0.1, 1, (B, 10)), jnp.float32),
+            hist_i_new=jnp.asarray(rng.integers(0, ITEMS, (B, 8)), jnp.int32),
+            sl=jnp.asarray(rng.integers(1, 11, B), jnp.int32),
+            sl_new=jnp.asarray(rng.integers(1, 9, B), jnp.int32))
+    elif model_name == "shan":
+        batch.update(
+            hist_i=jnp.asarray(rng.integers(0, ITEMS, (B, 12)), jnp.int32),
+            hist_i_new=jnp.asarray(rng.integers(0, ITEMS, (B, 8)), jnp.int32),
+            sl=jnp.asarray(rng.integers(1, 13, B), jnp.int32),
+            sl_new=jnp.asarray(rng.integers(1, 9, B), jnp.int32))
+    elif model_name in ("paca", "bilstm"):
+        batch.update(
+            hist_i=jnp.asarray(rng.integers(0, ITEMS, (B, 12)), jnp.int32),
+            sl=jnp.asarray(rng.integers(1, 13, B), jnp.int32))
+    elif model_name in ("atrank", "cnn"):
+        batch.update(
+            hist_i=jnp.asarray(rng.integers(0, ITEMS, (B, 12)), jnp.int32),
+            hist_t=jnp.asarray(rng.integers(0, 13, (B, 12)), jnp.int32),
+            sl=jnp.asarray(rng.integers(1, 13, B), jnp.int32))
+    elif model_name == "csan":
+        batch.update(
+            hist_i=jnp.asarray(rng.integers(0, ITEMS, (B, 12)), jnp.int32),
+            hist_t=jnp.asarray(rng.uniform(1, 100, (B, 12)), jnp.float32),
+            sl=jnp.asarray(rng.integers(1, 13, B), jnp.int32))
+    elif model_name == "lspm":
+        batch.update(
+            hist_i=jnp.asarray(rng.integers(0, ITEMS, (B, 5)), jnp.int32),
+            sl=jnp.asarray(rng.integers(1, 6, B), jnp.int32))
+    return batch
+
+
+ALL_MODELS = ["tlsan", "shan", "atrank", "bpr", "lspm", "paca",
+              "cnn", "bilstm", "csan"]
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_model_contract(name):
+    cfg = ModelConfig(model=name, user_count=USERS, item_count=ITEMS,
+                      cate_count=CATES, Ls=10, Ts=8, max_length=12,
+                      cnn_pad_length=20, paca_max_len=12,
+                      hidden_units=32 if name == "csan" else 64)
+    model = get_model(name)
+    rng = np.random.default_rng(0)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    cate_list = jnp.asarray(rng.integers(0, CATES, ITEMS), jnp.int32)
+    batch = make_batch(name, rng)
+
+    loss, grads = jax.value_and_grad(model.loss)(
+        params, batch, cate_list, cfg, False)
+    assert np.isfinite(float(loss)), name
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(g)).all(), name
+
+    pos, neg = model.pair_logits(params, batch, cate_list, cfg, False)
+    assert pos.shape == (B,) and neg.shape == (B,)
+
+    full = model.eval_logits(params, batch, cate_list, cfg, False)
+    assert full.shape == (B, ITEMS)
+
+    # pointwise logits consistent with the catalog row of the same item
+    # (models whose user tower is target-conditioned share the i-query)
+    np.testing.assert_allclose(
+        np.asarray(pos),
+        np.asarray(full)[np.arange(B), np.asarray(batch["i"])],
+        rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("name", ALL_MODELS)
+def test_model_determinism(name):
+    cfg = ModelConfig(model=name, user_count=USERS, item_count=ITEMS,
+                      cate_count=CATES, Ls=10, Ts=8, max_length=12,
+                      cnn_pad_length=20, paca_max_len=12)
+    model = get_model(name)
+    p1 = model.init_params(jax.random.PRNGKey(7), cfg)
+    p2 = model.init_params(jax.random.PRNGKey(7), cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

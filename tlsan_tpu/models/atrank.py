@@ -1,0 +1,162 @@
+"""ATRank — attention-based user behavior modeling baseline.
+
+Reference: ATRank/model.py:46-104, attention_net :288-331.
+
+  - item⊕cate embedding + one-hot(12) time bucket concat + dense to
+    hidden_units (:59-73, the default concat_time_emb=True path; the False
+    path feeds an int placeholder into a dense — a reference dtype bug — and
+    is implemented here with the natural float cast);
+  - num_blocks × (multi-head self-attention + FFN) over the history (:291-308);
+  - readout: the TARGET ITEM is the query of a 1-step vanilla attention over
+    the encoded history + FFN (:310-328) — so the user representation is
+    conditioned on the candidate item, including at full-catalog eval
+    (reference quirk preserved: eval scores all items with the
+    positive-item-conditioned representation, :100-104).
+
+Batch: u, i, y, hist_i [B,T], hist_t [B,T] (int buckets 0..12), sl (+j at
+eval).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tlsan_tpu.core.config import ModelConfig
+from tlsan_tpu.models import base
+from tlsan_tpu.nn.embedding import lookup
+from tlsan_tpu.nn.init import glorot_uniform
+from tlsan_tpu.nn.layers import dense
+from tlsan_tpu.ops.multihead_attention import feedforward, multihead_attention
+
+N_TIME_BUCKETS = 12  # one-hot width (ATRank/model.py:71)
+
+
+def _attn_params(rng, D):
+    k = jax.random.split(rng, 5)
+    return {
+        "wq": glorot_uniform(k[0], (D, D)), "bq": jnp.zeros((D,)),
+        "wk": glorot_uniform(k[1], (D, D)), "bk": jnp.zeros((D,)),
+        "wv": glorot_uniform(k[2], (D, D)), "bv": jnp.zeros((D,)),
+        "ln_gamma": jnp.ones((D,)), "ln_beta": jnp.zeros((D,)),
+    }
+
+
+def _ffn_params(rng, D):
+    k = jax.random.split(rng, 2)
+    return {
+        "w1": glorot_uniform(k[0], (D, D // 4)), "b1": jnp.zeros((D // 4,)),
+        "w2": glorot_uniform(k[1], (D // 4, D)), "b2": jnp.zeros((D,)),
+        "ln_gamma": jnp.ones((D,)), "ln_beta": jnp.zeros((D,)),
+    }
+
+
+class ATRank:
+    name = "atrank"
+
+    @staticmethod
+    def init_params(rng, cfg: ModelConfig):
+        D = cfg.hidden_units
+        keys = jax.random.split(rng, 4 + 4 * cfg.num_blocks)
+        ki = iter(range(len(keys)))
+        params = {
+            "item_emb": glorot_uniform(
+                keys[next(ki)], (cfg.item_count, cfg.itemid_embedding_size)),
+            "item_b": jnp.zeros((cfg.item_count,), jnp.float32),
+            "cate_emb": glorot_uniform(
+                keys[next(ki)], (cfg.cate_count, cfg.cateid_embedding_size)),
+            # time-concat projection (ATRank/model.py:73)
+            "time_w": glorot_uniform(
+                keys[next(ki)],
+                (cfg.itemid_embedding_size + cfg.cateid_embedding_size
+                 + N_TIME_BUCKETS, D)),
+            "time_b": jnp.zeros((D,), jnp.float32),
+            "self_blocks": [], "vanilla_blocks": [],
+        }
+        for _ in range(cfg.num_blocks):
+            k1, k2 = jax.random.split(keys[next(ki)])
+            params["self_blocks"].append(
+                {"attn": _attn_params(k1, D), "ffn": _ffn_params(k2, D)})
+            k1, k2 = jax.random.split(keys[next(ki)])
+            params["vanilla_blocks"].append(
+                {"attn": _attn_params(k1, D), "ffn": _ffn_params(k2, D)})
+        return params
+
+    @staticmethod
+    def _embed_items(params, ids, cate_list):
+        return jnp.concatenate(
+            [lookup(params["item_emb"], ids),
+             lookup(params["cate_emb"], cate_list[ids])], axis=-1)
+
+    @staticmethod
+    def _user_repr_for(params, query_items, batch, cate_list, cfg):
+        """User tower conditioned on the given query items [B]."""
+        h = ATRank._embed_items(params, batch["hist_i"], cate_list)
+        t_onehot = jax.nn.one_hot(batch["hist_t"], N_TIME_BUCKETS,
+                                  dtype=h.dtype)
+        h = dense(jnp.concatenate([h, t_onehot], axis=-1),
+                  params["time_w"], params["time_b"])
+        sl = batch["sl"]
+
+        enc = h
+        for blk in params["self_blocks"]:
+            enc, _ = multihead_attention(enc, sl, enc, sl,
+                                         cfg.num_heads, blk["attn"])
+            enc = feedforward(enc, blk["ffn"])
+
+        i_emb = ATRank._embed_items(params, query_items, cate_list)
+        dec = i_emb[:, None, :]
+        ones = jnp.ones_like(sl)
+        for blk in params["vanilla_blocks"]:
+            dec, _ = multihead_attention(dec, ones, enc, sl,
+                                         cfg.num_heads, blk["attn"])
+            dec = feedforward(dec, blk["ffn"])
+        return dec[:, 0, :]
+
+    @staticmethod
+    def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+        return ATRank._user_repr_for(params, batch["i"], batch, cate_list, cfg)
+
+    @staticmethod
+    def item_repr(params, ids, cate_list, cfg: ModelConfig):
+        return ATRank._embed_items(params, ids, cate_list), lookup(params["item_b"], ids)
+
+    @staticmethod
+    def all_item_repr(params, cate_list, cfg: ModelConfig):
+        all_emb = jnp.concatenate(
+            [params["item_emb"], params["cate_emb"][cate_list]], axis=-1)
+        return all_emb, params["item_b"]
+
+    @staticmethod
+    def loss(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+        u = ATRank.user_repr(params, batch, cate_list, cfg, use_pallas)
+        i_emb, i_b = ATRank.item_repr(params, batch["i"], cate_list, cfg)
+        logits = base.pointwise_logits(u, i_emb, i_b)
+        # batch-level L2 over the user output and item embedding
+        # (ATRank/model.py:130-133)
+        valid = batch.get("valid")
+        if valid is None:
+            l2 = base.l2_tables(u, i_emb)
+        else:
+            v = valid.astype(jnp.float32)[:, None]
+            l2 = 0.5 * (jnp.sum(jnp.square(u) * v) + jnp.sum(jnp.square(i_emb) * v))
+        return (base.sigmoid_ce_loss(logits, batch["y"], valid)
+                + cfg.regulation_rate * l2)
+
+    @staticmethod
+    def pair_logits(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+        # the user tower is query-conditioned, so pos and neg each get their
+        # own forward (matching the reference's two sess.runs,
+        # ATRank/model.py:253-282)
+        u_pos = ATRank._user_repr_for(params, batch["i"], batch, cate_list, cfg)
+        u_neg = ATRank._user_repr_for(params, batch["j"], batch, cate_list, cfg)
+        pe, pb = ATRank.item_repr(params, batch["i"], cate_list, cfg)
+        ne, nb = ATRank.item_repr(params, batch["j"], cate_list, cfg)
+        return (base.pointwise_logits(u_pos, pe, pb),
+                base.pointwise_logits(u_neg, ne, nb))
+
+    @staticmethod
+    def eval_logits(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+        u = ATRank.user_repr(params, batch, cate_list, cfg, use_pallas)
+        all_emb, all_b = ATRank.all_item_repr(params, cate_list, cfg)
+        return base.full_catalog_logits(u, all_emb, all_b)

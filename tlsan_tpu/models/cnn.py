@@ -1,0 +1,129 @@
+"""CNN (TextCNN) baseline.
+
+Reference: CNN/model.py:45-93, cnn_net :285-334.  Same embedding+time front
+as ATRank (item⊕cate + one-hot(12) time + dense), then: mask, zero-pad the
+time axis to a fixed 500 (:299-301), 10 conv towers (filter heights 1..10 ×
+32 filters, truncated-normal(0.1) weights, 0.1-constant bias, :306-318),
+relu, max-pool over time (:320-324), concat to 320-d, dropout, dense to
+hidden (:91).  Loss: mean sigmoid-CE + L2 over the item/cate tables
+(:126-135).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tlsan_tpu.core.config import ModelConfig
+from tlsan_tpu.models import base
+from tlsan_tpu.nn.embedding import lookup
+from tlsan_tpu.nn.init import glorot_uniform
+from tlsan_tpu.nn.layers import dense
+from tlsan_tpu.nn.masks import sequence_mask
+
+N_TIME_BUCKETS = 12
+
+
+def _truncated_normal(rng, shape, stddev=0.1):
+    return stddev * jax.random.truncated_normal(rng, -2.0, 2.0, shape,
+                                                jnp.float32)
+
+
+class CNN:
+    name = "cnn"
+
+    @staticmethod
+    def init_params(rng, cfg: ModelConfig):
+        D = cfg.hidden_units
+        keys = jax.random.split(rng, 4 + len(cfg.cnn_filter_sizes))
+        ki = iter(range(len(keys)))
+        params = {
+            "item_emb": glorot_uniform(
+                keys[next(ki)], (cfg.item_count, cfg.itemid_embedding_size)),
+            "item_b": jnp.zeros((cfg.item_count,), jnp.float32),
+            "cate_emb": glorot_uniform(
+                keys[next(ki)], (cfg.cate_count, cfg.cateid_embedding_size)),
+            "time_w": glorot_uniform(
+                keys[next(ki)],
+                (cfg.itemid_embedding_size + cfg.cateid_embedding_size
+                 + N_TIME_BUCKETS, D)),
+            "time_b": jnp.zeros((D,), jnp.float32),
+            "towers": [],
+        }
+        for fs in cfg.cnn_filter_sizes:
+            params["towers"].append({
+                # filter [fs, D, 1, num_filters] (CNN/model.py:309-311)
+                "w": _truncated_normal(keys[next(ki)],
+                                       (fs, D, 1, cfg.cnn_num_filters)),
+                "b": jnp.full((cfg.cnn_num_filters,), 0.1, jnp.float32),
+            })
+        total = cfg.cnn_num_filters * len(cfg.cnn_filter_sizes)
+        k_out = jax.random.fold_in(rng, 999)
+        params["out_w"] = glorot_uniform(k_out, (total, D))
+        params["out_b"] = jnp.zeros((D,), jnp.float32)
+        return params
+
+    @staticmethod
+    def _embed_items(params, ids, cate_list):
+        return jnp.concatenate(
+            [lookup(params["item_emb"], ids),
+             lookup(params["cate_emb"], cate_list[ids])], axis=-1)
+
+    @staticmethod
+    def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+        h = CNN._embed_items(params, batch["hist_i"], cate_list)
+        t_onehot = jax.nn.one_hot(batch["hist_t"], N_TIME_BUCKETS, dtype=h.dtype)
+        h = dense(jnp.concatenate([h, t_onehot], axis=-1),
+                  params["time_w"], params["time_b"])
+
+        B, T, D = h.shape
+        mask = sequence_mask(batch["sl"], T).astype(h.dtype)
+        h = h * mask[:, :, None]
+        # zero-pad the time axis to the fixed conv length (CNN/model.py:299-301)
+        pad = cfg.cnn_pad_length - T
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        lhs = h[:, :, :, None]  # NHWC: [B, 500, D, 1]
+
+        pooled = []
+        for tw in params["towers"]:
+            conv = jax.lax.conv_general_dilated(
+                lhs, tw["w"], window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
+            act = jax.nn.relu(conv + tw["b"])       # [B, 500-fs+1, 1, F]
+            pooled.append(jnp.max(act, axis=1)[:, 0, :])  # max over time
+        flat = jnp.concatenate(pooled, axis=-1)     # [B, 320]
+        return dense(flat, params["out_w"], params["out_b"])
+
+    @staticmethod
+    def item_repr(params, ids, cate_list, cfg: ModelConfig):
+        return CNN._embed_items(params, ids, cate_list), lookup(params["item_b"], ids)
+
+    @staticmethod
+    def all_item_repr(params, cate_list, cfg: ModelConfig):
+        all_emb = jnp.concatenate(
+            [params["item_emb"], params["cate_emb"][cate_list]], axis=-1)
+        return all_emb, params["item_b"]
+
+    @staticmethod
+    def loss(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+        u = CNN.user_repr(params, batch, cate_list, cfg, use_pallas)
+        i_emb, i_b = CNN.item_repr(params, batch["i"], cate_list, cfg)
+        logits = base.pointwise_logits(u, i_emb, i_b)
+        l2 = base.l2_tables(params["item_emb"], params["cate_emb"])
+        return (base.sigmoid_ce_loss(logits, batch["y"], batch.get("valid"))
+                + cfg.regulation_rate * l2)
+
+    @staticmethod
+    def pair_logits(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+        u = CNN.user_repr(params, batch, cate_list, cfg, use_pallas)
+        pe, pb = CNN.item_repr(params, batch["i"], cate_list, cfg)
+        ne, nb = CNN.item_repr(params, batch["j"], cate_list, cfg)
+        return (base.pointwise_logits(u, pe, pb),
+                base.pointwise_logits(u, ne, nb))
+
+    @staticmethod
+    def eval_logits(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+        u = CNN.user_repr(params, batch, cate_list, cfg, use_pallas)
+        all_emb, all_b = CNN.all_item_repr(params, cate_list, cfg)
+        return base.full_catalog_logits(u, all_emb, all_b)
