@@ -32,17 +32,17 @@ def _fwa_kernel(x_ref, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
                 *, num_heads: int):
     TB, S, D = x_ref.shape
     x = x_ref[:]                      # [TB, S, D]
-    x2 = x.reshape(TB * S, D)
-    # block-diagonal dense maps: one MXU pass each
+    # block-diagonal dense maps: batched MXU contraction over the last dim
+    # (3-D dot — collapsing to [TB*S, D] forces a relayout through scoped
+    # VMEM that OOMs at larger S).
     # precision HIGHEST: keep true f32 on the MXU (the default truncates
     # inputs to bf16, which breaks parity with the TF f32 reference)
-    m1 = jnp.maximum(
-        jnp.dot(x2, w1_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        + b1_ref[:], 0.0)
-    m2 = (jnp.dot(m1, w2_ref[:], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-          + b2_ref[:]).reshape(TB, S, D)
+    dot3 = lambda a, w: jax.lax.dot_general(
+        a, w, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    m1 = jnp.maximum(dot3(x, w1_ref[:]) + b1_ref[:], 0.0)
+    m2 = dot3(m1, w2_ref[:]) + b2_ref[:]
     # additive mask on padded time positions
     pos = jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
     mask = pos < len_ref[:]           # [TB, S]
@@ -79,7 +79,12 @@ def _fwa_forward(x, lengths, num_heads, w1, b1, w2, b2):
     b1t = jnp.tile(b1, num_heads)[None, :]   # [1, D]
     b2t = jnp.tile(b2, num_heads)[None, :]
 
-    TB = min(_round_up(B, 8), 512)
+    # batch tile: bounded by scoped VMEM — ~6 live [TB, S, D→128-lane] f32
+    # buffers must fit well under the 16 MB limit
+    vmem_budget = 6 * 1024 * 1024
+    lanes = _round_up(D, 128)
+    tb_cap = max(8, (vmem_budget // (6 * S * lanes * 4)) // 8 * 8)
+    TB = min(_round_up(B, 8), 512, tb_cap)
     grid = (pl.cdiv(B, TB),)
     lengths2 = lengths.astype(jnp.int32)[:, None]  # [B, 1]
 

@@ -121,6 +121,8 @@ def main(argv=None):
     p.add_argument("--steps_per_call", type=int, default=100)
     p.add_argument("--eval_freq", type=int, default=1000)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--best_after_step", type=int, default=20_000)
+    p.add_argument("--save_auc_gate", type=float, default=0.8)
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--from_scratch", action="store_true", default=True)
     p.add_argument("--resume", dest="from_scratch", action="store_false")
@@ -149,6 +151,8 @@ def main(argv=None):
         eval_freq=args.eval_freq,
         steps_per_call=args.steps_per_call,
         seed=args.seed,
+        best_after_step=args.best_after_step,
+        save_auc_gate=args.save_auc_gate,
     )
 
     data_path = os.path.join(args.data_dir, f"{args.dataset}.pkl")
