@@ -39,10 +39,13 @@ class ModelConfig:
 
     model: str = "tlsan"
 
-    # catalog sizes (filled from DataCounts)
+    # catalog sizes (filled from DataCounts).  When tables are row-sharded
+    # over mp these are rounded up to a multiple of mp; catalog_items then
+    # holds the true item count so eval can mask the padded catalog rows.
     user_count: int = 0
     item_count: int = 0
     cate_count: int = 0
+    catalog_items: int = 0  # 0 → item_count is the true catalog size
 
     # embedding sizes (reference: TLSAN/train.py:33-35)
     itemid_embedding_size: int = 32

@@ -98,10 +98,20 @@ class ATRank:
                   params["time_w"], params["time_b"])
         sl = batch["sl"]
 
+        rng = batch.get("dropout_rng")
+
+        def next_rng():
+            nonlocal rng
+            if rng is None or cfg.dropout <= 0.0:
+                return None
+            rng, sub = jax.random.split(rng)
+            return sub
+
         enc = h
         for blk in params["self_blocks"]:
             enc, _ = multihead_attention(enc, sl, enc, sl,
-                                         cfg.num_heads, blk["attn"])
+                                         cfg.num_heads, blk["attn"],
+                                         cfg.dropout, next_rng())
             enc = feedforward(enc, blk["ffn"])
 
         i_emb = ATRank._embed_items(params, query_items, cate_list)
@@ -109,7 +119,8 @@ class ATRank:
         ones = jnp.ones_like(sl)
         for blk in params["vanilla_blocks"]:
             dec, _ = multihead_attention(dec, ones, enc, sl,
-                                         cfg.num_heads, blk["attn"])
+                                         cfg.num_heads, blk["attn"],
+                                         cfg.dropout, next_rng())
             dec = feedforward(dec, blk["ffn"])
         return dec[:, 0, :]
 

@@ -93,6 +93,11 @@ class CNN:
             act = jax.nn.relu(conv + tw["b"])       # [B, 500-fs+1, 1, F]
             pooled.append(jnp.max(act, axis=1)[:, 0, :])  # max over time
         flat = jnp.concatenate(pooled, axis=-1)     # [B, 320]
+        rng = batch.get("dropout_rng")
+        if rng is not None and cfg.dropout > 0.0:
+            # dropout on the pooled features (CNN/model.py:331-333)
+            from tlsan_tpu.nn.layers import dropout
+            flat = dropout(flat, cfg.dropout, rng)
         return dense(flat, params["out_w"], params["out_b"])
 
     @staticmethod

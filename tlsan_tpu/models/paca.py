@@ -42,6 +42,12 @@ class PACA:
     @staticmethod
     def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
         h = lookup(params["item_emb"], batch["hist_i"])  # [B, T, E]
+        rng = batch.get("dropout_rng")
+        if rng is not None and cfg.dropout > 0.0:
+            # dropout on the session embedding (PACA/model.py:272-273)
+            from tlsan_tpu.nn.layers import dropout
+            rng, k1 = jax.random.split(rng)
+            h = dropout(h, cfg.dropout, k1)
         T = h.shape[1]
         mask = sequence_mask(batch["sl"], T).astype(h.dtype)  # [B, T]
         h = h * mask[:, :, None]
@@ -57,6 +63,10 @@ class PACA:
         att = jax.nn.softmax(sim * mask, axis=1) * mask
         att = att / jnp.maximum(jnp.sum(att, axis=1, keepdims=True), 1e-20)
         paa = jnp.sum(h * att[:, :, None], axis=1)  # [B, E]
+        if rng is not None and cfg.dropout > 0.0:
+            # dropout before the bilinear map (PACA/model.py:315-316)
+            from tlsan_tpu.nn.layers import dropout
+            paa = dropout(paa, cfg.dropout, rng)
         return jnp.dot(paa, params["linear_w"], precision="highest")
 
     @staticmethod

@@ -102,14 +102,23 @@ class TLSAN:
         h = h * (params["gamma"] * ut)[..., None]
         h_new = TLSAN._embed_items(params, hist_i_new, cate_list)
 
-        att = feature_wise_attention if use_pallas else (
-            lambda *a, **kw: feature_wise_attention_reference(*a, **kw))
+        rng = batch.get("dropout_rng")
+        att = (feature_wise_attention if use_pallas
+               else feature_wise_attention_reference)
+
+        def next_rng():
+            nonlocal rng
+            if rng is None or cfg.dropout <= 0.0:
+                return None
+            rng, sub = jax.random.split(rng)
+            return sub
 
         # long-term tower (TLSAN/model.py:330-347)
         enc = h
         for blk in params["long"]:
             enc = att(enc, sl, cfg.num_heads,
-                      blk["w1"], blk["b1"], blk["w2"], blk["b2"])
+                      blk["w1"], blk["b1"], blk["w2"], blk["b2"],
+                      dropout_rate=cfg.dropout, rng=next_rng())
             enc = jnp.dot(enc, blk["proj_w"], precision="highest") + blk["proj_b"]
             enc = enc[:, None, :]  # 1-step pseudo-item
 
@@ -119,7 +128,8 @@ class TLSAN:
         out = None
         for blk in params["short"]:
             out = att(enc, sl_new + 1, cfg.num_heads,
-                      blk["w1"], blk["b1"], blk["w2"], blk["b2"])
+                      blk["w1"], blk["b1"], blk["w2"], blk["b2"],
+                      dropout_rate=cfg.dropout, rng=next_rng())
 
         return out + u_emb  # (TLSAN/model.py:135)
 

@@ -14,6 +14,16 @@ def layer_norm(x, gamma, beta, eps: float = 1e-8):
     return gamma * (x - mean) / jnp.sqrt(var + eps) + beta
 
 
+def dropout(x, rate: float, rng):
+    """Inverted dropout (≡ tf.nn.dropout / tf.layers.dropout at train time).
+    No-op when rate==0 or rng is None (eval)."""
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
 def dense(x, w, b=None, activation=None):
     out = jnp.dot(x, w, precision="highest")
     if b is not None:

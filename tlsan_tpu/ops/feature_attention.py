@@ -33,17 +33,29 @@ from tlsan_tpu.nn.masks import additive_neg_mask, sequence_mask
 
 
 def feature_wise_attention_reference(x, lengths, num_heads, w1, b1, w2, b2,
-                                     return_soft: bool = False):
+                                     return_soft: bool = False,
+                                     dropout_rate: float = 0.0, rng=None):
     """Pure-jnp reference implementation (the correctness oracle)."""
     B, S, D = x.shape
     dh = D // num_heads
     x4 = x.reshape(B, S, num_heads, dh)
+    # dropout (train-time, rate>0) lands on the input of each dense map —
+    # the reference's linear(keep_prob) semantics (TLSAN/model.py:428-431)
+    x_in, k2 = x4, None
+    if dropout_rate > 0.0 and rng is not None:
+        from tlsan_tpu.nn.layers import dropout as _dropout
+        k1, k2 = jax.random.split(rng)
+        x_in = _dropout(x4, dropout_rate, k1)
     # precision='highest': keep the tiny [dh,dh] maps in true f32 — the
     # session default truncates matmul inputs to bf16, and at 8×8 the MXU
     # saving is nil while the reference (TF f32) semantics matter
     m1 = jax.nn.relu(
-        jnp.einsum("bshd,de->bshe", x4, w1, precision="highest") + b1)
-    m2 = jnp.einsum("bshd,de->bshe", m1, w2, precision="highest") + b2
+        jnp.einsum("bshd,de->bshe", x_in, w1, precision="highest") + b1)
+    m1_in = m1
+    if k2 is not None:
+        from tlsan_tpu.nn.layers import dropout as _dropout
+        m1_in = _dropout(m1, dropout_rate, k2)
+    m2 = jnp.einsum("bshd,de->bshe", m1_in, w2, precision="highest") + b2
     mask = sequence_mask(lengths, S)  # [B, S]
     m2 = additive_neg_mask(m2, mask[:, :, None, None])
     soft = jax.nn.softmax(m2, axis=1)
@@ -54,10 +66,16 @@ def feature_wise_attention_reference(x, lengths, num_heads, w1, b1, w2, b2,
 
 
 def feature_wise_attention(x, lengths, num_heads, w1, b1, w2, b2,
-                           use_pallas: bool = True):
-    """Fused feature-wise attention; Pallas on TPU, jnp elsewhere."""
-    if use_pallas and jax.default_backend() == "tpu":
+                           use_pallas: bool = True,
+                           dropout_rate: float = 0.0, rng=None):
+    """Fused feature-wise attention; Pallas on TPU, jnp elsewhere.
+    Dropout (train-time only; every reference flag table defaults it to 0)
+    routes through the jnp path."""
+    if (dropout_rate <= 0.0 or rng is None) and use_pallas \
+            and jax.default_backend() == "tpu":
         from tlsan_tpu.ops.pallas.fwa import fwa_pallas
 
         return fwa_pallas(x, lengths, num_heads, w1, b1, w2, b2)
-    return feature_wise_attention_reference(x, lengths, num_heads, w1, b1, w2, b2)
+    return feature_wise_attention_reference(
+        x, lengths, num_heads, w1, b1, w2, b2,
+        dropout_rate=dropout_rate, rng=rng)

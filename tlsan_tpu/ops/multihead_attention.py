@@ -23,8 +23,11 @@ from tlsan_tpu.nn.masks import sequence_mask
 KEY_MASK_VALUE = -(2.0 ** 32) + 1
 
 
-def multihead_attention(queries, q_len, keys, k_len, num_heads, p):
-    """p: dict with wq,bq,wk,bk,wv,bv [D,D]/[D] and ln_gamma,ln_beta [D]."""
+def multihead_attention(queries, q_len, keys, k_len, num_heads, p,
+                        dropout_rate: float = 0.0, rng=None):
+    """p: dict with wq,bq,wk,bk,wv,bv [D,D]/[D] and ln_gamma,ln_beta [D].
+    Train-time dropout lands on the attention probabilities
+    (reference: ATRank/model.py:410)."""
     B, Tq, D = queries.shape
     Tk = keys.shape[1]
     dh = D // num_heads
@@ -45,6 +48,10 @@ def multihead_attention(queries, q_len, keys, k_len, num_heads, p):
     # query-mask zeroing (ATRank/model.py:401-404)
     q_mask = sequence_mask(q_len, Tq).astype(soft.dtype)[:, None, :, None]
     soft = soft * q_mask
+
+    if dropout_rate > 0.0 and rng is not None:
+        from tlsan_tpu.nn.layers import dropout as _dropout
+        soft = _dropout(soft, dropout_rate, rng)
 
     out = jnp.einsum("bhqk,bkhd->bqhd", soft, Vh, precision="highest")
     out = out.reshape(B, Tq, D)

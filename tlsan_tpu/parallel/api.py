@@ -23,6 +23,58 @@ from tlsan_tpu.parallel.mesh import data_shardings, param_shardings, replicated
 from tlsan_tpu.train.state import make_optimizer
 
 
+def pad_config_for_mp(cfg: ModelConfig, mp: int) -> ModelConfig:
+    """Round the vocab sizes up to multiples of mp (shard_map requires even
+    row shards); record the true item count for eval-time catalog masking."""
+    import dataclasses
+
+    if mp <= 1:
+        return cfg
+    up = lambda n: ((n + mp - 1) // mp) * mp
+    return dataclasses.replace(
+        cfg,
+        catalog_items=cfg.catalog_items or cfg.item_count,
+        item_count=up(cfg.item_count),
+        user_count=up(cfg.user_count),
+        cate_count=up(cfg.cate_count),
+    )
+
+
+def pad_cate_list(cate_list, cfg: ModelConfig):
+    """Extend item→cate map to the padded item count (pad rows map to 0)."""
+    import numpy as np
+
+    n = cfg.item_count - len(cate_list)
+    if n <= 0:
+        return cate_list
+    return np.concatenate([np.asarray(cate_list),
+                           np.zeros(n, dtype=np.asarray(cate_list).dtype)])
+
+
+def pad_vocab_rows(params, counts_true, counts_padded):
+    """Zero-pad the vocab dimension of every table from its true size to the
+    mp-padded size.  Params are initialized at the TRUE shapes first, so the
+    sharded run is bit-identical to the single-device run (same init draw,
+    same L2 — pad rows are zero and carry no signal)."""
+    tu, ti, tc = counts_true
+    pu, pi, pc = counts_padded
+    pad_of = {"item_emb": (ti, pi), "item_b": (ti, pi),
+              "user_emb": (tu, pu), "usert_emb": (tu, pu),
+              "cate_emb": (tc, pc),
+              "short_w": (ti, pi), "long_w": (tu, pu)}
+
+    def fix(path, leaf):
+        name = str(getattr(path[-1], "key", ""))
+        if name in pad_of and hasattr(leaf, "shape") and leaf.ndim >= 1:
+            true_n, pad_n = pad_of[name]
+            if leaf.shape[0] == true_n and pad_n > true_n:
+                widths = [(0, pad_n - true_n)] + [(0, 0)] * (leaf.ndim - 1)
+                return jnp.pad(leaf, widths)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, params)
+
+
 def shard_train_state(mesh, params, opt_state, vocab_sharded: bool = True):
     """Place params/opt_state on the mesh: tables row-sharded over mp, dense
     weights replicated; opt_state mirrors params leaf-for-leaf."""

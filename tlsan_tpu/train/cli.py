@@ -123,6 +123,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--best_after_step", type=int, default=20_000)
     p.add_argument("--save_auc_gate", type=float, default=0.8)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh axis (batch sharding)")
+    p.add_argument("--mp", type=int, default=1,
+                   help="model-parallel mesh axis (vocab-table row sharding)")
+    p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--from_scratch", action="store_true", default=True)
     p.add_argument("--resume", dest="from_scratch", action="store_false")
@@ -136,7 +141,8 @@ def main(argv=None):
                     "shan": 150_000, "bilstm": 270_000, "bpr": 10**9}
     hidden = {"csan": 32}.get(args.model, 64)
 
-    cfg = ModelConfig(model=args.model, hidden_units=hidden)
+    cfg = ModelConfig(model=args.model, hidden_units=hidden,
+                      dropout=args.dropout)
     tc = TrainConfig(
         dataset=args.dataset,
         data_dir=args.data_dir,
@@ -153,6 +159,8 @@ def main(argv=None):
         seed=args.seed,
         best_after_step=args.best_after_step,
         save_auc_gate=args.save_auc_gate,
+        dp=args.dp,
+        mp=args.mp,
     )
 
     data_path = os.path.join(args.data_dir, f"{args.dataset}.pkl")

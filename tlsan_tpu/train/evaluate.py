@@ -14,25 +14,32 @@ tf.metrics.precision_at_k / recall_at_k with one label id
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from functools import partial
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tlsan_tpu.data.batcher import Batches, pad_to_multiple
+from tlsan_tpu.nn import embedding
 
 TOPK_KS = (1, 10, 20, 30, 40, 50)
 
 
-def _device_data(batches: Batches, batch_size: int) -> Tuple[Dict, int]:
+def _device_data(batches: Batches, batch_size: int, mesh=None) -> Tuple[Dict, int]:
     padded = pad_to_multiple(batches, batch_size)
     n_batches = padded.n // batch_size
-    data = {
-        k: jnp.asarray(v.reshape((n_batches, batch_size) + v.shape[1:]))
-        for k, v in padded.arrays.items()
-    }
+    data = {}
+    for k, v in padded.arrays.items():
+        v = v.reshape((n_batches, batch_size) + v.shape[1:])
+        if mesh is not None:  # per-batch rows sharded over dp
+            sh = NamedSharding(mesh, P(None, "dp", *([None] * (v.ndim - 2))))
+            data[k] = jax.device_put(jnp.asarray(v), sh)
+        else:
+            data[k] = jnp.asarray(v)
     return data, n_batches
 
 
@@ -68,6 +75,11 @@ def make_topk_fn(model, cfg, cate_list, use_pallas: bool = True):
         def body(carry, batch):
             hits_sum, n = carry
             logits = model.eval_logits(params, batch, cate_list, cfg, use_pallas)
+            if cfg.catalog_items and cfg.catalog_items < logits.shape[1]:
+                # mask mp-padding catalog rows out of the ranking
+                item_ids = jnp.arange(logits.shape[1])
+                logits = jnp.where(item_ids[None, :] < cfg.catalog_items,
+                                   logits, -jnp.inf)
             # catalogs smaller than 50 (tiny tests) clamp k
             k_eff = min(max_k, logits.shape[1])
             _, top_idx = jax.lax.top_k(logits, k_eff)  # [B, ≤50]
@@ -98,16 +110,24 @@ class Evaluator:
     """Holds the device-resident padded test set and the jitted eval fns."""
 
     def __init__(self, model, cfg, cate_list, test_batches: Batches,
-                 batch_size: int, use_pallas: bool = True):
-        self.data, self.n_batches = _device_data(test_batches, batch_size)
+                 batch_size: int, use_pallas: bool = True, mesh=None,
+                 vocab_sharded: bool = False):
+        self.data, self.n_batches = _device_data(test_batches, batch_size, mesh)
         self._auc = make_auc_fn(model, cfg, cate_list, use_pallas)
         self._topk = make_topk_fn(model, cfg, cate_list, use_pallas)
+        self._mesh, self._vs = mesh, vocab_sharded
+
+    def _ctx(self):
+        return (embedding.vocab_sharded(self._mesh)
+                if self._mesh is not None and self._vs else nullcontext())
 
     def auc(self, params) -> float:
-        return float(self._auc(params, self.data))
+        with self._ctx():
+            return float(self._auc(params, self.data))
 
     def topk(self, params) -> Dict[str, float]:
-        prec, recall = self._topk(params, self.data)
+        with self._ctx():
+            prec, recall = self._topk(params, self.data)
         prec, recall = np.asarray(prec), np.asarray(recall)
         out = {}
         for i, k in enumerate(TOPK_KS):

@@ -17,6 +17,7 @@ TPU-native:
 from __future__ import annotations
 
 import time
+from contextlib import nullcontext
 from functools import partial
 from typing import Dict, Optional
 
@@ -24,9 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tlsan_tpu.core.config import ModelConfig, TrainConfig
 from tlsan_tpu.data.batcher import Batches, epoch_permutation
+from tlsan_tpu.nn import embedding
 from tlsan_tpu.train import checkpoint as ckpt
 from tlsan_tpu.train.evaluate import Evaluator
 from tlsan_tpu.train.metrics import MetricWriter
@@ -45,27 +48,56 @@ class Trainer:
         use_pallas: bool = True,
     ):
         self.model = model
-        self.cfg = cfg
         self.tc = tc
-        self.cate_list = jnp.asarray(cate_list)
-        self.train_data = {k: jnp.asarray(v) for k, v in train_batches.arrays.items()}
-        self.n_train = train_batches.n
         self.opt = make_optimizer(tc)
         self.use_pallas = use_pallas
 
-        # restore-or-init (reference: TLSAN/train.py:59-84)
+        # optional (dp, mp) mesh: dp shards the batch, mp row-shards the
+        # vocab tables with explicit collectives (docs/design.md)
+        self.mesh = None
+        counts_true = (cfg.user_count, cfg.item_count, cfg.cate_count)
+        if tc.dp * tc.mp > 1:
+            from tlsan_tpu.parallel.api import pad_cate_list, pad_config_for_mp
+            from tlsan_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh(dp=tc.dp, mp=tc.mp)
+            assert tc.train_batch_size % tc.dp == 0, "batch % dp != 0"
+            assert tc.test_batch_size % tc.dp == 0, "test batch % dp != 0"
+            cfg = pad_config_for_mp(cfg, tc.mp)
+            cate_list = pad_cate_list(cate_list, cfg)
+        self.cfg = cfg
+        self.cate_list = jnp.asarray(cate_list)
+        self.train_data = {k: jnp.asarray(v) for k, v in train_batches.arrays.items()}
+        self.n_train = train_batches.n
+
+        # restore-or-init (reference: TLSAN/train.py:59-84).  Init at the
+        # TRUE vocab shapes then zero-pad rows, so a sharded run draws the
+        # exact same parameters as the single-device run.
         ckpt.maybe_wipe(tc.model_dir, tc.from_scratch)
-        params = model.init_params(jax.random.PRNGKey(tc.seed), cfg)
+        import dataclasses
+        cfg_true = dataclasses.replace(
+            cfg, user_count=counts_true[0], item_count=counts_true[1],
+            cate_count=counts_true[2])
+        params = model.init_params(jax.random.PRNGKey(tc.seed), cfg_true)
+        if tc.mp > 1:
+            from tlsan_tpu.parallel.api import pad_vocab_rows
+            params = pad_vocab_rows(
+                params, counts_true,
+                (cfg.user_count, cfg.item_count, cfg.cate_count))
         opt_state = self.opt.init(params)
         self.step = 0
         latest = ckpt.latest_checkpoint(tc.model_dir)
         if latest is not None:
             self.step, params, opt_state = ckpt.restore(latest, params, opt_state)
             print(f"restored from {latest} at step {self.step}", flush=True)
+        if self.mesh is not None:
+            from tlsan_tpu.parallel.api import shard_train_state
+            params, opt_state = shard_train_state(
+                self.mesh, params, opt_state, vocab_sharded=tc.mp > 1)
         self.params, self.opt_state = params, opt_state
 
         self.evaluator = Evaluator(
-            model, cfg, self.cate_list, test_batches, tc.test_batch_size, use_pallas)
+            model, cfg, self.cate_list, test_batches, tc.test_batch_size,
+            use_pallas, mesh=self.mesh, vocab_sharded=tc.mp > 1)
         self.writer = MetricWriter(tc.model_dir)
         self._train_chunk = self._build_train_chunk()
 
@@ -74,24 +106,53 @@ class Trainer:
     def _build_train_chunk(self):
         model, cfg, cate_list = self.model, self.cfg, self.cate_list
         opt, data, use_pallas = self.opt, self.train_data, self.use_pallas
+        mesh = self.mesh
+
+        def constrain(batch):
+            """Shard each gathered batch over dp (dataset stays replicated)."""
+            if mesh is None:
+                return batch
+            return {
+                k: jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1)))))
+                for k, v in batch.items()
+            }
 
         def loss_fn(params, batch):
             return model.loss(params, batch, cate_list, cfg, use_pallas)
 
+        use_dropout = cfg.dropout > 0.0
+        base_rng = jax.random.PRNGKey(self.tc.seed + 1)
+
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_chunk(params, opt_state, idx):  # idx: [K, B] int32
+        def train_chunk(params, opt_state, idx, rng):  # idx: [K, B] int32
             def step(carry, ib):
-                params, opt_state = carry
-                batch = {k: v[ib] for k, v in data.items()}
+                params, opt_state, rng = carry
+                batch = constrain({k: v[ib] for k, v in data.items()})
+                if use_dropout:
+                    rng, sub = jax.random.split(rng)
+                    batch["dropout_rng"] = sub
                 loss, grads = jax.value_and_grad(loss_fn)(params, batch)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
+                return (params, opt_state, rng), loss
 
-            (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), idx)
-            return params, opt_state, jnp.mean(losses)
+            (params, opt_state, rng), losses = jax.lax.scan(
+                step, (params, opt_state, rng), idx)
+            return params, opt_state, rng, jnp.mean(losses)
 
-        return train_chunk
+        self._dropout_rng = base_rng
+
+        def run(params, opt_state, idx):
+            # the vocab_sharded context governs trace-time lookup dispatch
+            ctx = (embedding.vocab_sharded(mesh)
+                   if mesh is not None and self.tc.mp > 1 else nullcontext())
+            with ctx:
+                params, opt_state, self._dropout_rng, loss = train_chunk(
+                    params, opt_state, idx, self._dropout_rng)
+            return params, opt_state, loss
+
+        return run
 
     def _epoch_index(self, epoch: int) -> np.ndarray:
         """Shuffled [n_chunks, K, B] batch-index tensor; the tail wraps to the
