@@ -65,11 +65,14 @@ class ATRank:
             "item_b": jnp.zeros((cfg.item_count,), jnp.float32),
             "cate_emb": glorot_uniform(
                 keys[next(ki)], (cfg.cate_count, cfg.cateid_embedding_size)),
-            # time-concat projection (ATRank/model.py:73)
+            # time-concat projection (ATRank/model.py:73); the
+            # concat_time_emb=False path instead adds a tanh-dense of the
+            # raw bucket (ATRank/model.py:75-78 — int→dense dtype bug in the
+            # reference; we cast to float)
             "time_w": glorot_uniform(
                 keys[next(ki)],
-                (cfg.itemid_embedding_size + cfg.cateid_embedding_size
-                 + N_TIME_BUCKETS, D)),
+                ((cfg.itemid_embedding_size + cfg.cateid_embedding_size
+                  + N_TIME_BUCKETS, D) if cfg.concat_time_emb else (1, D))),
             "time_b": jnp.zeros((D,), jnp.float32),
             "self_blocks": [], "vanilla_blocks": [],
         }
@@ -92,10 +95,14 @@ class ATRank:
     def _user_repr_for(params, query_items, batch, cate_list, cfg):
         """User tower conditioned on the given query items [B]."""
         h = ATRank._embed_items(params, batch["hist_i"], cate_list)
-        t_onehot = jax.nn.one_hot(batch["hist_t"], N_TIME_BUCKETS,
-                                  dtype=h.dtype)
-        h = dense(jnp.concatenate([h, t_onehot], axis=-1),
-                  params["time_w"], params["time_b"])
+        if cfg.concat_time_emb:
+            t_onehot = jax.nn.one_hot(batch["hist_t"], N_TIME_BUCKETS,
+                                      dtype=h.dtype)
+            h = dense(jnp.concatenate([h, t_onehot], axis=-1),
+                      params["time_w"], params["time_b"])
+        else:
+            t = batch["hist_t"].astype(h.dtype)[..., None]
+            h = h + dense(t, params["time_w"], params["time_b"], jnp.tanh)
         sl = batch["sl"]
 
         rng = batch.get("dropout_rng")

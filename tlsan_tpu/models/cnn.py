@@ -43,10 +43,12 @@ class CNN:
             "item_b": jnp.zeros((cfg.item_count,), jnp.float32),
             "cate_emb": glorot_uniform(
                 keys[next(ki)], (cfg.cate_count, cfg.cateid_embedding_size)),
+            # same time front as ATRank incl. the concat_time_emb switch
+            # (CNN/model.py:69-77)
             "time_w": glorot_uniform(
                 keys[next(ki)],
-                (cfg.itemid_embedding_size + cfg.cateid_embedding_size
-                 + N_TIME_BUCKETS, D)),
+                ((cfg.itemid_embedding_size + cfg.cateid_embedding_size
+                  + N_TIME_BUCKETS, D) if cfg.concat_time_emb else (1, D))),
             "time_b": jnp.zeros((D,), jnp.float32),
             "towers": [],
         }
@@ -72,9 +74,14 @@ class CNN:
     @staticmethod
     def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
         h = CNN._embed_items(params, batch["hist_i"], cate_list)
-        t_onehot = jax.nn.one_hot(batch["hist_t"], N_TIME_BUCKETS, dtype=h.dtype)
-        h = dense(jnp.concatenate([h, t_onehot], axis=-1),
-                  params["time_w"], params["time_b"])
+        if cfg.concat_time_emb:
+            t_onehot = jax.nn.one_hot(batch["hist_t"], N_TIME_BUCKETS,
+                                      dtype=h.dtype)
+            h = dense(jnp.concatenate([h, t_onehot], axis=-1),
+                      params["time_w"], params["time_b"])
+        else:
+            t = batch["hist_t"].astype(h.dtype)[..., None]
+            h = h + dense(t, params["time_w"], params["time_b"], jnp.tanh)
 
         B, T, D = h.shape
         mask = sequence_mask(batch["sl"], T).astype(h.dtype)

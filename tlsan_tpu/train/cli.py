@@ -129,6 +129,9 @@ def main(argv=None):
                    help="model-parallel mesh axis (vocab-table row sharding)")
     p.add_argument("--dropout", type=float, default=0.0)
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of a few train chunks "
+                        "before training")
     p.add_argument("--from_scratch", action="store_true", default=True)
     p.add_argument("--resume", dest="from_scratch", action="store_false")
     args = p.parse_args(argv)
@@ -173,6 +176,9 @@ def main(argv=None):
     model = get_model(args.model)
     trainer = Trainer(model, cfg, tc, cate_list, train_b, test_b,
                       use_pallas=not args.no_pallas)
+    if args.profile:
+        out = trainer.profile_trace()
+        print(f"profiler trace written to {out}", flush=True)
     best = trainer.train()
     print(f"best: {best}", flush=True)
     return best

@@ -174,6 +174,19 @@ class Trainer:
         metrics.update(self.evaluator.topk(self.params))
         return metrics
 
+    def profile_trace(self, n_chunks: int = 3, out_dir: Optional[str] = None):
+        """Capture a jax.profiler device trace over a few train chunks
+        (replaces the reference's wall-clock-only timing,
+        TLSAN/train.py:162,235-237)."""
+        out_dir = out_dir or f"{self.tc.model_dir}/profile"
+        idx = self._epoch_index(0)[:n_chunks]
+        with jax.profiler.trace(out_dir):
+            for chunk in idx:
+                self.params, self.opt_state, _ = self._train_chunk(
+                    self.params, self.opt_state, jnp.asarray(chunk))
+            jax.block_until_ready(self.params)
+        return out_dir
+
     def train(self) -> Dict[str, float]:
         tc = self.tc
         best = {"auc": 0.0, "step": 0}
