@@ -143,9 +143,11 @@ def main(argv=None):
                     "cnn": 540_000, "lspm": 150_000, "paca": 150_000,
                     "shan": 150_000, "bilstm": 270_000, "bpr": 10**9}
     hidden = {"csan": 32}.get(args.model, 64)
+    # LSPM regularizes at 1e-2, all others at 5e-5 (LSPM/train.py:31)
+    reg = {"lspm": 1e-2}.get(args.model, 5e-5)
 
     cfg = ModelConfig(model=args.model, hidden_units=hidden,
-                      dropout=args.dropout)
+                      dropout=args.dropout, regulation_rate=reg)
     tc = TrainConfig(
         dataset=args.dataset,
         data_dir=args.data_dir,
