@@ -1,0 +1,44 @@
+"""Native (C++) TLSAN builder vs the pure-Python pipeline: every packed
+array must be bit-identical (same Python-`random` sequence, same padding)."""
+
+import numpy as np
+import pytest
+
+from tlsan_tpu.data import build_session_examples, load_category
+from tlsan_tpu.data.batcher import pack_session_test, pack_session_train
+
+native = pytest.importorskip("tlsan_tpu.data.native")
+
+
+@pytest.fixture(scope="module")
+def clothing(reference_data_dir):
+    return load_category(f"{reference_data_dir}/Clothing_Shoes_and_Jewelry.pkl")
+
+
+@pytest.mark.skipif(not native.available(), reason="g++ not available")
+def test_native_matches_python_bit_exact(clothing):
+    reviews_df, _, cate_list, counts = clothing
+    tr_n, te_n, Ts = native.build_tlsan_packed(
+        reviews_df, cate_list, counts.item_count)
+
+    train, test = build_session_examples(
+        reviews_df, cate_list, counts.item_count, "tlsan")
+    tr_p = pack_session_train(train, 10, Ts, "tlsan")
+    te_p = pack_session_test(test, 10, Ts, "tlsan")
+
+    assert tr_n.n == tr_p.n and te_n.n == te_p.n == counts.user_count
+    for k in tr_p.arrays:
+        np.testing.assert_array_equal(tr_p[k], tr_n[k], err_msg=f"train {k}")
+    for k in te_p.arrays:
+        np.testing.assert_array_equal(te_p[k], te_n[k], err_msg=f"test {k}")
+
+
+@pytest.mark.skipif(not native.available(), reason="g++ not available")
+def test_native_seed_sensitivity(clothing):
+    reviews_df, _, cate_list, counts = clothing
+    a, _, _ = native.build_tlsan_packed(reviews_df, cate_list,
+                                        counts.item_count, seed=1234)
+    b, _, _ = native.build_tlsan_packed(reviews_df, cate_list,
+                                        counts.item_count, seed=99)
+    # negatives and shuffles differ under a different seed
+    assert not np.array_equal(a["i"], b["i"])

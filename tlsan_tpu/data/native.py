@@ -1,0 +1,137 @@
+"""ctypes bindings for the native (C++) TLSAN dataset builder.
+
+`build_tlsan_packed` is a drop-in fused replacement for
+builders.build_session_examples("tlsan") + batcher.pack_session_train/_test:
+bit-exact output (enforced by tests/test_native_builder.py), ~20× faster on
+the large categories.  The shared library is compiled on demand from
+native/{pyrandom.h,builder.cpp} with g++ (no pybind11 — plain C ABI).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tlsan_tpu.data.batcher import Batches
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC_DIR = os.path.join(_REPO, "native")
+_LIB_PATH = os.path.join(_SRC_DIR, "libtlsan_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_f32p = ctypes.POINTER(ctypes.c_float)
+
+
+def _build_library() -> str:
+    src = os.path.join(_SRC_DIR, "builder.cpp")
+    hdr = os.path.join(_SRC_DIR, "pyrandom.h")
+    if (not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH) < max(os.path.getmtime(src),
+                                                 os.path.getmtime(hdr))):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB_PATH, src],
+            check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(_build_library())
+    lib.tlsan_build.restype = ctypes.c_void_p
+    lib.tlsan_build.argtypes = [
+        _i32p, _i32p, _i64p, ctypes.c_int64, _i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64]
+    lib.tlsan_counts.restype = None
+    lib.tlsan_counts.argtypes = [ctypes.c_void_p, _i64p, _i64p, _i64p]
+    lib.tlsan_pack_train.restype = None
+    lib.tlsan_pack_train.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        _i32p, _i32p, _f32p, _i32p, _i32p, _f32p, _i32p, _i32p, _i32p]
+    lib.tlsan_pack_test.restype = None
+    lib.tlsan_pack_test.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        _i32p, _i32p, _i32p, _i32p, _i32p, _f32p, _i32p, _i32p, _i32p]
+    lib.tlsan_free.restype = None
+    lib.tlsan_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def build_tlsan_packed(reviews_df, cate_list: np.ndarray, item_count: int,
+                       Ls: int = 10, max_length: int = 90, seed: int = 1234,
+                       Ts: Optional[int] = None,
+                       ) -> Tuple[Batches, Batches, int]:
+    """Fused native build+pack.  Returns (train, test, Ts)."""
+    lib = _load()
+    uids = np.ascontiguousarray(reviews_df["reviewerID"].to_numpy(), np.int32)
+    asins = np.ascontiguousarray(reviews_df["asin"].to_numpy(), np.int32)
+    times = np.ascontiguousarray(reviews_df["unixReviewTime"].to_numpy(), np.int64)
+    cate_list = np.ascontiguousarray(cate_list, np.int32)
+
+    h = lib.tlsan_build(
+        _ptr(uids, ctypes.c_int32), _ptr(asins, ctypes.c_int32),
+        _ptr(times, ctypes.c_int64), len(uids),
+        _ptr(cate_list, ctypes.c_int32), item_count,
+        int(cate_list.max()) + 1, max_length, seed)
+    try:
+        tn = ctypes.c_int64()
+        sn = ctypes.c_int64()
+        ts = ctypes.c_int64()
+        lib.tlsan_counts(h, ctypes.byref(tn), ctypes.byref(sn), ctypes.byref(ts))
+        train_n, test_n = tn.value, sn.value
+        if Ts is None:
+            Ts = max(8, ((ts.value + 7) // 8) * 8)
+
+        def alloc(n):
+            return dict(
+                u=np.empty(n, np.int32), i=np.empty(n, np.int32),
+                c=np.empty(n, np.int32),
+                hist_i=np.empty((n, Ls), np.int32),
+                hist_t=np.empty((n, Ls), np.float32),
+                hist_i_new=np.empty((n, Ts), np.int32),
+                sl=np.empty(n, np.int32), sl_new=np.empty(n, np.int32))
+
+        tr = alloc(train_n)
+        tr["y"] = np.empty(train_n, np.float32)
+        lib.tlsan_pack_train(
+            h, Ls, Ts,
+            _ptr(tr["u"], ctypes.c_int32), _ptr(tr["i"], ctypes.c_int32),
+            _ptr(tr["y"], ctypes.c_float), _ptr(tr["c"], ctypes.c_int32),
+            _ptr(tr["hist_i"], ctypes.c_int32), _ptr(tr["hist_t"], ctypes.c_float),
+            _ptr(tr["hist_i_new"], ctypes.c_int32),
+            _ptr(tr["sl"], ctypes.c_int32), _ptr(tr["sl_new"], ctypes.c_int32))
+
+        te = alloc(test_n)
+        te["j"] = np.empty(test_n, np.int32)
+        lib.tlsan_pack_test(
+            h, Ls, Ts,
+            _ptr(te["u"], ctypes.c_int32), _ptr(te["i"], ctypes.c_int32),
+            _ptr(te["j"], ctypes.c_int32), _ptr(te["c"], ctypes.c_int32),
+            _ptr(te["hist_i"], ctypes.c_int32), _ptr(te["hist_t"], ctypes.c_float),
+            _ptr(te["hist_i_new"], ctypes.c_int32),
+            _ptr(te["sl"], ctypes.c_int32), _ptr(te["sl_new"], ctypes.c_int32))
+    finally:
+        lib.tlsan_free(h)
+
+    return Batches(tr, train_n), Batches(te, test_n), Ts

@@ -41,6 +41,17 @@ def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
     reviews_df, meta_df, cate_list, counts = load_category(data_path)
     cfg = cfg.with_counts(counts)
 
+    if model_name == "tlsan":
+        # fused native (C++) build+pack — bit-exact vs the Python pipeline
+        # (tests/test_native_builder.py), ~30x faster on large categories
+        from tlsan_tpu.data import native
+        if native.available():
+            train_b, test_b, Ts = native.build_tlsan_packed(
+                reviews_df, cate_list, counts.item_count,
+                Ls=cfg.Ls, max_length=cfg.max_length, seed=seed)
+            cfg = dataclasses.replace(cfg, Ts=Ts)
+            return train_b, test_b, cate_list, cfg
+
     if model_name in ("tlsan", "shan", "paca"):
         train_set, test_set = build_session_examples(
             reviews_df, cate_list, counts.item_count,
