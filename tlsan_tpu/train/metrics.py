@@ -3,8 +3,10 @@
 Replaces the reference's TensorBoard FileWriters (TLSAN/model.py:17-19,
 :174-183) and `(time_line, auc_value)` curve pickles (BPR/train.py:96-97;
 TLSAN's own dump at TLSAN/train.py:256-258 is dead code) with an append-only
-JSONL stream: one object per event with wall-clock, global step, and the
-metric dict — trivially plottable and diffable.
+JSONL stream — one object per event with wall-clock, global step, and the
+metric dict — plus, matching the reference's on-disk contract, real
+`events.out.tfevents.*` files under `model_dir/train` and `model_dir/eval`
+(scalar summaries, stock-TensorBoard readable; see train/tensorboard.py).
 """
 
 from __future__ import annotations
@@ -14,15 +16,30 @@ import os
 import time
 from typing import Dict, Optional
 
+from tlsan_tpu.train.tensorboard import TBEventWriter
+
 
 class MetricWriter:
     def __init__(self, model_dir: str, name: str = "metrics",
-                 echo: bool = True):
+                 echo: bool = True, tensorboard: bool = True):
         os.makedirs(model_dir, exist_ok=True)
         self.path = os.path.join(model_dir, f"{name}.jsonl")
         self._f = open(self.path, "a")
         self.echo = echo
         self.t0 = time.time()
+        # two sub-writers like the reference (TLSAN/model.py:17-19):
+        # kind "train"/"epoch" → train/, everything else → eval/
+        self._tb: Dict[str, TBEventWriter] = {}
+        self._tensorboard = tensorboard
+        self._model_dir = model_dir
+
+    def _tb_writer(self, kind: str) -> Optional[TBEventWriter]:
+        if not self._tensorboard:
+            return None
+        sub = "train" if kind in ("train", "epoch") else "eval"
+        if sub not in self._tb:
+            self._tb[sub] = TBEventWriter(os.path.join(self._model_dir, sub))
+        return self._tb[sub]
 
     def write(self, kind: str, step: int, metrics: Dict[str, float]) -> None:
         rec = {
@@ -34,6 +51,9 @@ class MetricWriter:
         }
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        tb = self._tb_writer(kind)
+        if tb is not None:
+            tb.add_scalars(step, metrics)
         if self.echo:
             body = ", ".join(f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
                              for k, v in metrics.items())
@@ -41,3 +61,5 @@ class MetricWriter:
 
     def close(self) -> None:
         self._f.close()
+        for tb in self._tb.values():
+            tb.close()
