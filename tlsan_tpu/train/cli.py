@@ -145,7 +145,17 @@ def main(argv=None):
                         "before training")
     p.add_argument("--from_scratch", action="store_true", default=True)
     p.add_argument("--resume", dest="from_scratch", action="store_false")
+    p.add_argument("--compile_cache",
+                   default=os.environ.get("TLSAN_COMPILE_CACHE",
+                                          os.path.expanduser("~/.cache/tlsan_jax")),
+                   help="persistent XLA compilation cache dir ('' disables); "
+                        "repeat runs skip the 20-40s first-compile")
     args = p.parse_args(argv)
+
+    if args.compile_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # per-model reference defaults (SURVEY.md §2.6)
     default_epochs = {"tlsan": 20, "atrank": 10, "csan": 20, "lspm": 10,
