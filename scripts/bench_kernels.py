@@ -1,0 +1,134 @@
+"""Kernel microbenchmarks: Pallas vs jnp, with speed-of-light comparison.
+
+Measures the two fused attention kernels (ops/pallas/fwa.py, mha.py) against
+their jnp oracles at TLSAN/ATRank shapes, forward and forward+backward, and
+reports achieved HBM bandwidth as a fraction of speed-of-light.  Both ops are
+strongly memory-bound at these shapes (D=64, S≤90: arithmetic intensity
+≈ D/num_heads·amortized ≪ MXU roofline), so bytes/s is the right roofline.
+
+Usage: python scripts/bench_kernels.py [--sol_gbps 819]
+  (819 GB/s = TPU v5e HBM; pass your chip's number for other generations)
+"""
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, reps=50, warmup=5):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def bench_fwa(B, S, D, H, sol_gbps):
+    from tlsan_tpu.ops import feature_attention as FA
+    from tlsan_tpu.ops.pallas import fwa as F
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, S, D)), jnp.float32)
+    lengths = jnp.asarray(rng.integers(1, S + 1, B), jnp.int32)
+    dh = D // H
+    w1 = jnp.asarray(rng.standard_normal((dh, dh)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((dh, dh)) * 0.1, jnp.float32)
+    b1 = jnp.zeros((dh,), jnp.float32)
+    b2 = jnp.zeros((dh,), jnp.float32)
+
+    pallas_f = jax.jit(lambda x: F.fwa_pallas(x, lengths, H, w1, b1, w2, b2))
+    jnp_f = jax.jit(lambda x: FA.feature_wise_attention_reference(
+        x, lengths, H, w1, b1, w2, b2))
+    pallas_g = jax.jit(jax.grad(lambda x: pallas_f(x).sum()))
+    jnp_g = jax.jit(jax.grad(lambda x: jnp_f(x).sum()))
+
+    np.testing.assert_allclose(np.asarray(pallas_f(x)), np.asarray(jnp_f(x)),
+                               atol=2e-5, rtol=2e-5)
+
+    # fwd traffic: read x [B,S,D] + write out [B,D] (weights negligible)
+    bytes_fwd = 4 * (B * S * D + B * D)
+    rows = []
+    for tag, fn, byt in (("fwa.fwd.pallas", pallas_f, bytes_fwd),
+                         ("fwa.fwd.jnp", jnp_f, bytes_fwd),
+                         ("fwa.bwd.pallas", pallas_g, 3 * bytes_fwd),
+                         ("fwa.bwd.jnp", jnp_g, 3 * bytes_fwd)):
+        dt = timeit(fn, x)
+        rows.append({"kernel": tag, "B": B, "S": S, "D": D, "us": dt * 1e6,
+                     "gbps": byt / dt / 1e9,
+                     "sol_frac": byt / dt / 1e9 / sol_gbps})
+    return rows
+
+
+def bench_mha(B, T, D, H, sol_gbps):
+    from tlsan_tpu.ops import multihead_attention as MO
+    from tlsan_tpu.ops.pallas import mha as M
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    ql = jnp.asarray(rng.integers(1, T + 1, B), jnp.int32)
+    p = {}
+    for nm in ("wq", "wk", "wv"):
+        p[nm] = jnp.asarray(rng.standard_normal((D, D)) * 0.1, jnp.float32)
+        p["b" + nm[1]] = jnp.zeros((D,), jnp.float32)
+    p["ln_gamma"], p["ln_beta"] = jnp.ones((D,)), jnp.zeros((D,))
+
+    pallas_f = jax.jit(lambda q: M.mha_pallas(q, q, ql, ql, H, p))
+    jnp_f = jax.jit(lambda q: MO.multihead_attention(q, ql, q, ql, H, p)[0])
+    pallas_g = jax.jit(jax.grad(lambda q: pallas_f(q).sum()))
+    jnp_g = jax.jit(jax.grad(lambda q: jnp_f(q).sum()))
+
+    np.testing.assert_allclose(np.asarray(pallas_f(q)), np.asarray(jnp_f(q)),
+                               atol=3e-5, rtol=3e-5)
+
+    bytes_fwd = 4 * (B * T * D * 2 + 3 * D * D)
+    rows = []
+    for tag, fn, byt in (("mha.fwd.pallas", pallas_f, bytes_fwd),
+                         ("mha.fwd.jnp", jnp_f, bytes_fwd),
+                         ("mha.bwd.pallas", pallas_g, 3 * bytes_fwd),
+                         ("mha.bwd.jnp", jnp_g, 3 * bytes_fwd)):
+        dt = timeit(fn, q)
+        rows.append({"kernel": tag, "B": B, "T": T, "D": D, "us": dt * 1e6,
+                     "gbps": byt / dt / 1e9,
+                     "sol_frac": byt / dt / 1e9 / sol_gbps})
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sol_gbps", type=float, default=819.0,
+                    help="HBM speed-of-light GB/s (819 = v5e)")
+    ap.add_argument("--big_batch", type=int, default=8192)
+    args = ap.parse_args()
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    rows = []
+    # TLSAN long-term window at train batch and at saturated batch
+    rows += bench_fwa(32, 10, 64, 8, args.sol_gbps)
+    rows += bench_fwa(args.big_batch, 10, 64, 8, args.sol_gbps)
+    rows += bench_fwa(args.big_batch, 90, 64, 8, args.sol_gbps)
+    # ATRank self-attention over the behavior sequence
+    rows += bench_mha(32, 90, 64, 8, args.sol_gbps)
+    rows += bench_mha(1024, 90, 64, 8, args.sol_gbps)
+    for r in rows:
+        print(json.dumps(r), flush=True)
+    hdr = f"{'kernel':18s} {'shape':>16s} {'us':>9s} {'GB/s':>8s} {'SoL':>6s}"
+    print("\n" + hdr)
+    for r in rows:
+        shape = f"B{r['B']}xS{r.get('S', r.get('T'))}xD{r['D']}"
+        print(f"{r['kernel']:18s} {shape:>16s} {r['us']:9.1f} "
+              f"{r['gbps']:8.1f} {r['sol_frac']:5.1%}")
+
+
+if __name__ == "__main__":
+    main()

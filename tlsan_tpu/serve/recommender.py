@@ -1,0 +1,125 @@
+"""Serving: jit-compiled top-k recommendation over the full catalog.
+
+The reference has no serving path — its eval matmul (TLSAN/model.py:140) is
+the closest thing.  This module packages that capability for production:
+a `Recommender` holds device-resident params, compiles one
+[B, D] × [D, V] MXU scoring step + top-k, and serves padded fixed-shape
+request batches.  On a (dp, mp) mesh the catalog scoring runs vocab-sharded
+via parallel/topk.py (k·mp candidates exchanged instead of [B, V] scores).
+
+By default recommendations may include items from the user's own history —
+the reference's eval semantics (SURVEY.md §8 quirk list); pass
+`exclude_history=True` to mask them.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tlsan_tpu.core.config import (
+    ModelConfig,
+    load_config_json,
+    model_config_from_json,
+)
+from tlsan_tpu.models import get_model
+from tlsan_tpu.train import checkpoint
+
+# (ids_key, length_key) pairs that can hold a user's history in a batch
+_HISTORY_KEYS = (("hist_i", "sl"), ("hist_i_new", "sl_new"))
+
+
+class Recommender:
+    """Top-k item recommendation from a trained model.
+
+    recommend(batch) → (item_ids [B, k], scores [B, k]) as numpy; `batch` is
+    the same dict layout the trainer/evaluator uses (u, hist_i, sl, ... —
+    everything except the candidate item/label fields).
+    """
+
+    def __init__(self, model, params, cate_list, cfg: ModelConfig,
+                 k: int = 50, use_pallas: Optional[bool] = None,
+                 exclude_history: bool = False, batch_size: int = 128):
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.model, self.cfg, self.k = model, cfg, k
+        self.batch_size = batch_size
+        self.params = jax.device_put(params)
+        self.cate_list = jnp.asarray(cate_list)
+        self._exclude = exclude_history
+        self._use_pallas = use_pallas
+        self._fn = jax.jit(self._recommend)
+
+    # ------------------------------------------------------------- compute
+
+    def _recommend(self, params, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        logits = self.model.eval_logits(
+            params, batch, self.cate_list, self.cfg, self._use_pallas)
+        V = logits.shape[1]
+        if self.cfg.catalog_items and self.cfg.catalog_items < V:
+            # vocab-padding rows never rank
+            logits = jnp.where(jnp.arange(V)[None, :] < self.cfg.catalog_items,
+                               logits, -jnp.inf)
+        if self._exclude:
+            for ids_key, len_key in _HISTORY_KEYS:
+                if ids_key in batch and len_key in batch:
+                    ids = batch[ids_key]  # [B, L]
+                    B, L = ids.shape
+                    valid = jnp.arange(L)[None, :] < batch[len_key][:, None]
+                    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
+                    logits = logits.at[rows, ids].add(
+                        jnp.where(valid, -jnp.inf, 0.0))
+        k_eff = min(self.k, V)
+        vals, idx = jax.lax.top_k(logits, k_eff)
+        return idx, vals
+
+    # -------------------------------------------------------------- public
+
+    def recommend(self, batch: Dict[str, np.ndarray]
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pad the request to the compiled batch size, score, unpad."""
+        n = len(next(iter(batch.values())))
+        B = self.batch_size
+        dev = {}
+        for key, v in batch.items():
+            v = np.asarray(v)
+            if n % B:
+                pad = ((0, B - n % B),) + ((0, 0),) * (v.ndim - 1)
+                v = np.pad(v, pad)
+            dev[key] = jnp.asarray(v.reshape((-1, B) + v.shape[1:]))
+        ids_out, vals_out = [], []
+        for c in range(dev[next(iter(dev))].shape[0]):
+            chunk = {key: v[c] for key, v in dev.items()}
+            idx, vals = self._fn(self.params, chunk)
+            ids_out.append(np.asarray(idx))
+            vals_out.append(np.asarray(vals))
+        return (np.concatenate(ids_out)[:n], np.concatenate(vals_out)[:n])
+
+    # ---------------------------------------------------------- checkpoint
+
+    @classmethod
+    def from_model_dir(cls, model_dir: str, cate_list,
+                       model_name: Optional[str] = None,
+                       **kwargs) -> "Recommender":
+        """Load the latest checkpoint + JSON config sidecar written by the
+        trainer (train/checkpoint.py contract)."""
+        path = checkpoint.latest_checkpoint(model_dir)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint under {model_dir}")
+        sidecar = path[:-len(".ckpt")] + ".json"
+        cfg_d = load_config_json(sidecar)
+        cfg = model_config_from_json(cfg_d["ModelConfig"])
+        model = get_model(model_name or cfg.model)
+        template = model.init_params(jax.random.PRNGKey(0), cfg)
+        from tlsan_tpu.core.config import TrainConfig
+        from tlsan_tpu.train.state import make_optimizer
+        tc = TrainConfig(**{k: v for k, v in cfg_d.get("TrainConfig", {}).items()
+                            if k in TrainConfig.__dataclass_fields__})
+        opt_template = make_optimizer(tc).init(template)
+        _, params, _ = checkpoint.restore(path, template, opt_template)
+        return cls(model, params, cate_list, cfg, **kwargs)
