@@ -244,3 +244,173 @@ void tlsan_pack_test(void* hp, int64_t Ls, int64_t Ts, int32_t* u, int32_t* i,
 void tlsan_free(void* hp) { delete static_cast<Handle*>(hp); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Prefix sliding-window scheme (ATRank/CNN/CSAN/Bi-LSTM/LSPM)
+//
+// Mirrors tlsan_tpu/data/builders.py::build_prefix_examples (reference:
+// ATRank/build_dataset.py:32-41 and clones) + batcher.pack_prefix_train/_test
+// with the same bit-exact PyRandom call sequence.  An example is (user_start,
+// prefix_len) — prefixes are never copied.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PrefixExample {
+  int64_t user_start;
+  int32_t uid;
+  int32_t plen;     // history = pos_list[0:plen]
+  int64_t cur_t;    // time of the target position (time features)
+  int32_t a;        // item (train) / pos (test & packed-pair)
+  int32_t b;        // neg (test & packed-pair); unused otherwise
+  float label;      // train label (non-packed mode)
+};
+
+struct PrefixHandle {
+  const int32_t* asins;
+  const int64_t* times;
+  std::vector<PrefixExample> train, test;
+  int64_t max_hist = 1;
+};
+
+inline int32_t bucket_index(int64_t t, int64_t cur_t) {
+  // sum((cur - t + 1) >= gaps), integer 0..12 (ATRank/build_dataset.py:15-18)
+  int64_t delta = cur_t - t + 1;
+  int32_t k = 0;
+  for (int g = 0; g < 12; ++g) k += (delta >= kGaps[g]);
+  return k;
+}
+
+}  // namespace
+
+extern "C" {
+
+// time_mode: 0 = none (Bi-LSTM/LSPM), 1 = bucket (ATRank/CNN), 2 = raw (CSAN)
+void* prefix_build(const int32_t* uids, const int32_t* asins,
+                   const int64_t* times, int64_t n_rows, int64_t item_count,
+                   int64_t max_length, int32_t pack_pos_neg, uint64_t seed) {
+  auto* h = new PrefixHandle{asins, times, {}, {}, 1};
+  PyRandom rng(seed);
+  std::vector<uint8_t> in_pos(item_count, 0);
+  std::vector<int32_t> negs;
+
+  int64_t row = 0;
+  while (row < n_rows) {
+    const int32_t uid = uids[row];
+    int64_t start = row;
+    while (row < n_rows && uids[row] == uid) ++row;
+    const int64_t len = row - start;
+
+    for (int64_t k = 0; k < len; ++k) in_pos[asins[start + k]] = 1;
+    negs.clear();
+    for (int64_t k = 0; k < len; ++k) {
+      int64_t neg = asins[start];
+      while (in_pos[neg]) neg = rng.randint(0, item_count - 1);
+      negs.push_back(static_cast<int32_t>(neg));
+    }
+
+    const int64_t valid_length = len < max_length ? len : max_length;
+    for (int64_t i = 1; i < valid_length; ++i) {
+      PrefixExample e{};
+      e.user_start = start;
+      e.uid = uid;
+      e.plen = static_cast<int32_t>(i);
+      e.cur_t = times[start + i];
+      if (i > h->max_hist) h->max_hist = i;
+      if (i != valid_length - 1) {
+        if (pack_pos_neg) {  // LSPM: one (pos, neg) tuple per position
+          e.a = asins[start + i];
+          e.b = negs[i];
+          h->train.push_back(e);
+        } else {             // two labeled examples, pos then neg
+          e.a = asins[start + i];
+          e.label = 1.0f;
+          h->train.push_back(e);
+          e.a = negs[i];
+          e.label = 0.0f;
+          h->train.push_back(e);
+        }
+      } else {
+        e.a = asins[start + i];
+        e.b = negs[i];
+        h->test.push_back(e);
+      }
+    }
+    for (int64_t k = 0; k < len; ++k) in_pos[asins[start + k]] = 0;
+  }
+
+  rng.shuffle(h->train);
+  rng.shuffle(h->test);
+  return h;
+}
+
+void prefix_counts(void* hp, int64_t* train_n, int64_t* test_n,
+                   int64_t* max_hist) {
+  auto* h = static_cast<PrefixHandle*>(hp);
+  *train_n = static_cast<int64_t>(h->train.size());
+  *test_n = static_cast<int64_t>(h->test.size());
+  *max_hist = h->max_hist;
+}
+
+namespace {
+
+// window = "last": keep trailing T items; align right shifts to [T-w, T)
+void pack_prefix_common(const PrefixHandle* h, const PrefixExample& e,
+                        int64_t T, int32_t align_right, int32_t time_mode,
+                        int64_t r, int32_t* hist_i, float* hist_t,
+                        int32_t* sl) {
+  const int64_t s = e.user_start;
+  const int64_t L = e.plen;
+  const int64_t w = L > T ? T : L;
+  const int64_t off = L > T ? L - T : 0;
+  const int64_t base = align_right ? T - w : 0;
+  for (int64_t k = 0; k < T; ++k) hist_i[r * T + k] = 0;
+  if (hist_t) for (int64_t k = 0; k < T; ++k) hist_t[r * T + k] = 0.0f;
+  for (int64_t k = 0; k < w; ++k) {
+    hist_i[r * T + base + k] = h->asins[s + off + k];
+    if (time_mode == 1)
+      hist_t[r * T + base + k] =
+          static_cast<float>(bucket_index(h->times[s + off + k], e.cur_t));
+    else if (time_mode == 2)
+      hist_t[r * T + base + k] =
+          static_cast<float>(e.cur_t - h->times[s + off + k] + 1);
+  }
+  sl[r] = static_cast<int32_t>(w);
+}
+
+}  // namespace
+
+// hist_t may be nullptr when time_mode == 0.
+// pack_pos_neg mode: y is nullptr, j receives the negatives.
+void prefix_pack_train(void* hp, int64_t T, int32_t align_right,
+                       int32_t time_mode, int32_t pack_pos_neg, int32_t* u,
+                       int32_t* i, int32_t* j, float* y, int32_t* hist_i,
+                       float* hist_t, int32_t* sl) {
+  auto* h = static_cast<PrefixHandle*>(hp);
+  for (size_t r = 0; r < h->train.size(); ++r) {
+    const PrefixExample& e = h->train[r];
+    u[r] = e.uid;
+    i[r] = e.a;
+    if (pack_pos_neg) j[r] = e.b; else y[r] = e.label;
+    pack_prefix_common(h, e, T, align_right, time_mode,
+                       static_cast<int64_t>(r), hist_i, hist_t, sl);
+  }
+}
+
+void prefix_pack_test(void* hp, int64_t T, int32_t align_right,
+                      int32_t time_mode, int32_t* u, int32_t* i, int32_t* j,
+                      int32_t* hist_i, float* hist_t, int32_t* sl) {
+  auto* h = static_cast<PrefixHandle*>(hp);
+  for (size_t r = 0; r < h->test.size(); ++r) {
+    const PrefixExample& e = h->test[r];
+    u[r] = e.uid;
+    i[r] = e.a;
+    j[r] = e.b;
+    pack_prefix_common(h, e, T, align_right, time_mode,
+                       static_cast<int64_t>(r), hist_i, hist_t, sl);
+  }
+}
+
+void prefix_free(void* hp) { delete static_cast<PrefixHandle*>(hp); }
+
+}  // extern "C"

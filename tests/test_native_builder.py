@@ -42,3 +42,41 @@ def test_native_seed_sensitivity(clothing):
                                         counts.item_count, seed=99)
     # negatives and shuffles differ under a different seed
     assert not np.array_equal(a["i"], b["i"])
+
+
+@pytest.mark.skipif(not native.available(), reason="g++ not available")
+@pytest.mark.parametrize("model,time_mode,max_length,pack_pair,align,T_fixed", [
+    ("atrank", "bucket", 90, False, "left", None),
+    ("cnn", "bucket", 80, False, "left", None),
+    ("csan", "raw", 90, False, "left", None),
+    ("bilstm", "none", 90, False, "left", None),
+    ("lspm", "none", 90, True, "right", 5),
+])
+def test_native_prefix_matches_python(clothing, model, time_mode, max_length,
+                                      pack_pair, align, T_fixed):
+    from tlsan_tpu.data import build_prefix_examples
+    from tlsan_tpu.data.batcher import pack_prefix_test, pack_prefix_train
+
+    reviews_df, _, cate_list, counts = clothing
+    tr_n, te_n, T = native.build_prefix_packed(
+        reviews_df, counts.item_count, time_mode=time_mode,
+        max_length=max_length, pack_pos_neg=pack_pair, align=align, T=T_fixed)
+
+    train, test = build_prefix_examples(
+        reviews_df, counts.item_count, time_mode=time_mode,
+        max_length=max_length, pack_pos_neg=pack_pair)
+    with_time = time_mode != "none"
+    tdt = np.float32 if time_mode == "raw" else np.int32
+    tr_p = pack_prefix_train(train, T, with_time=with_time,
+                             pack_pos_neg=pack_pair, align=align, time_dtype=tdt)
+    te_p = pack_prefix_test(test, T, with_time=with_time, align=align,
+                            time_dtype=tdt)
+
+    assert tr_n.n == tr_p.n and te_n.n == te_p.n == counts.user_count
+    assert set(tr_n.arrays) == set(tr_p.arrays)
+    assert set(te_n.arrays) == set(te_p.arrays)
+    for k in tr_p.arrays:
+        assert tr_n[k].dtype == tr_p[k].dtype, f"train {k} dtype"
+        np.testing.assert_array_equal(tr_p[k], tr_n[k], err_msg=f"train {k}")
+    for k in te_p.arrays:
+        np.testing.assert_array_equal(te_p[k], te_n[k], err_msg=f"test {k}")

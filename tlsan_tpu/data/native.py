@@ -70,6 +70,22 @@ def _load() -> ctypes.CDLL:
         _i32p, _i32p, _i32p, _i32p, _i32p, _f32p, _i32p, _i32p, _i32p]
     lib.tlsan_free.restype = None
     lib.tlsan_free.argtypes = [ctypes.c_void_p]
+    lib.prefix_build.restype = ctypes.c_void_p
+    lib.prefix_build.argtypes = [
+        _i32p, _i32p, _i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64]
+    lib.prefix_counts.restype = None
+    lib.prefix_counts.argtypes = [ctypes.c_void_p, _i64p, _i64p, _i64p]
+    lib.prefix_pack_train.restype = None
+    lib.prefix_pack_train.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _i32p, _i32p, _i32p, _f32p, _i32p, _f32p, _i32p]
+    lib.prefix_pack_test.restype = None
+    lib.prefix_pack_test.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i32p, _i32p, _i32p, _f32p, _i32p]
+    lib.prefix_free.restype = None
+    lib.prefix_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -135,3 +151,75 @@ def build_tlsan_packed(reviews_df, cate_list: np.ndarray, item_count: int,
         lib.tlsan_free(h)
 
     return Batches(tr, train_n), Batches(te, test_n), Ts
+
+
+_TIME_MODES = {"none": 0, "bucket": 1, "raw": 2}
+
+
+def build_prefix_packed(reviews_df, item_count: int, time_mode: str = "none",
+                        max_length: int = 90, pack_pos_neg: bool = False,
+                        align: str = "left", T: Optional[int] = None,
+                        seed: int = 1234) -> Tuple[Batches, Batches, int]:
+    """Fused native build+pack for the prefix scheme
+    (ATRank/CNN/CSAN/Bi-LSTM/LSPM).  Bit-exact vs
+    builders.build_prefix_examples + batcher.pack_prefix_train/_test
+    (tests/test_native_builder.py).  Returns (train, test, T)."""
+    lib = _load()
+    uids = np.ascontiguousarray(reviews_df["reviewerID"].to_numpy(), np.int32)
+    asins = np.ascontiguousarray(reviews_df["asin"].to_numpy(), np.int32)
+    times = np.ascontiguousarray(reviews_df["unixReviewTime"].to_numpy(), np.int64)
+    tm = _TIME_MODES[time_mode]
+
+    h = lib.prefix_build(
+        _ptr(uids, ctypes.c_int32), _ptr(asins, ctypes.c_int32),
+        _ptr(times, ctypes.c_int64), len(uids), item_count, max_length,
+        1 if pack_pos_neg else 0, seed)
+    try:
+        tn, sn, mh = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
+        lib.prefix_counts(h, ctypes.byref(tn), ctypes.byref(sn), ctypes.byref(mh))
+        train_n, test_n = tn.value, sn.value
+        if T is None:
+            T = max(8, ((mh.value + 7) // 8) * 8)
+        ar = 1 if align == "right" else 0
+        with_time = tm != 0
+        null_f32 = ctypes.cast(None, _f32p)
+        null_i32 = ctypes.cast(None, _i32p)
+
+        def alloc(n):
+            d = dict(u=np.empty(n, np.int32), i=np.empty(n, np.int32),
+                     hist_i=np.empty((n, T), np.int32),
+                     sl=np.empty(n, np.int32))
+            if with_time:
+                d["hist_t"] = np.empty((n, T), np.float32)
+            return d
+
+        tr = alloc(train_n)
+        if pack_pos_neg:
+            tr["j"] = np.empty(train_n, np.int32)
+        else:
+            tr["y"] = np.empty(train_n, np.float32)
+        lib.prefix_pack_train(
+            h, T, ar, tm, 1 if pack_pos_neg else 0,
+            _ptr(tr["u"], ctypes.c_int32), _ptr(tr["i"], ctypes.c_int32),
+            _ptr(tr["j"], ctypes.c_int32) if pack_pos_neg else null_i32,
+            null_f32 if pack_pos_neg else _ptr(tr["y"], ctypes.c_float),
+            _ptr(tr["hist_i"], ctypes.c_int32),
+            _ptr(tr["hist_t"], ctypes.c_float) if with_time else null_f32,
+            _ptr(tr["sl"], ctypes.c_int32))
+
+        te = alloc(test_n)
+        te["j"] = np.empty(test_n, np.int32)
+        lib.prefix_pack_test(
+            h, T, ar, tm,
+            _ptr(te["u"], ctypes.c_int32), _ptr(te["i"], ctypes.c_int32),
+            _ptr(te["j"], ctypes.c_int32),
+            _ptr(te["hist_i"], ctypes.c_int32),
+            _ptr(te["hist_t"], ctypes.c_float) if with_time else null_f32,
+            _ptr(te["sl"], ctypes.c_int32))
+    finally:
+        lib.prefix_free(h)
+
+    if time_mode == "bucket":  # int buckets 0..12 (ATRank/CNN one-hot input)
+        tr["hist_t"] = tr["hist_t"].astype(np.int32)
+        te["hist_t"] = te["hist_t"].astype(np.int32)
+    return Batches(tr, train_n), Batches(te, test_n), T

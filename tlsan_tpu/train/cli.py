@@ -83,6 +83,17 @@ def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
                      "csan": "raw", "bilstm": "none", "lspm": "none"}[model_name]
         max_length = 80 if model_name == "cnn" else cfg.max_length
         pack_pair = model_name == "lspm"
+        from tlsan_tpu.data import native
+        if native.available():
+            # fused native (C++) build+pack, bit-exact vs the Python path
+            # (tests/test_native_builder.py::test_native_prefix_matches_python)
+            train_b, test_b, T = native.build_prefix_packed(
+                reviews_df, counts.item_count, time_mode=time_mode,
+                max_length=max_length, pack_pos_neg=pack_pair,
+                align="right" if pack_pair else "left",
+                T=cfg.lspm_k if pack_pair else None, seed=seed)
+            cfg = dataclasses.replace(cfg, max_length=T)
+            return train_b, test_b, cate_list, cfg
         train_set, test_set = build_prefix_examples(
             reviews_df, counts.item_count, time_mode=time_mode,
             max_length=max_length, pack_pos_neg=pack_pair, seed=seed)
