@@ -15,6 +15,7 @@
 // Exact-parity contract is enforced by tests/test_native_builder.py, which
 // compares every packed array against the pure-Python pipeline.
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -242,6 +243,112 @@ void tlsan_pack_test(void* hp, int64_t Ls, int64_t Ts, int32_t* u, int32_t* i,
 }
 
 void tlsan_free(void* hp) { delete static_cast<Handle*>(hp); }
+
+// ------------------------------------------------------------------------
+// SHAN / PACA: same session walk and RNG sequence as TLSAN (verified by the
+// Python builder — builders.py::build_session_examples branches only on the
+// emitted tuple format), packed without time embeddings; PACA also drops the
+// uid (PACA/build_dataset.py:43-44).
+// ------------------------------------------------------------------------
+
+void tlsan_max_pre(void* hp, int64_t* max_pre) {
+  auto* h = static_cast<Handle*>(hp);
+  int64_t m = 1;
+  for (const auto& e : h->train) m = e.pre_len > m ? e.pre_len : m;
+  for (const auto& e : h->test) m = e.pre_len > m ? e.pre_len : m;
+  *max_pre = m;
+}
+
+static void pack_basic_common(const Handle* h, const Example& e, int64_t Ls,
+                              int64_t Ts, int64_t r, int32_t* hist_i,
+                              int32_t* hist_i_new, int32_t* sl,
+                              int32_t* sl_new) {
+  const int64_t s = e.user_start;
+  const int64_t L = e.pre_len;
+  const int64_t w = L > Ls ? Ls : L;          // window = last Ls
+  const int64_t off = L > Ls ? L - Ls : 0;
+  for (int64_t k = 0; k < w; ++k) hist_i[r * Ls + k] = h->asins[s + off + k];
+  for (int64_t k = w; k < Ls; ++k) hist_i[r * Ls + k] = 0;
+  sl[r] = static_cast<int32_t>(w);
+  if (hist_i_new) {
+    int64_t out = 0;
+    for (int64_t k = 0; k < e.new_count + (e.removed >= 0 ? 1 : 0)
+                        && out < Ts; ++k) {
+      if (k == e.removed) continue;
+      hist_i_new[r * Ts + out++] = h->asins[s + e.new_start + k];
+    }
+    for (; out < Ts; ++out) hist_i_new[r * Ts + out] = 0;
+    sl_new[r] = e.new_count;
+  }
+}
+
+// u/hist_i_new/sl_new are nullptr for PACA.
+void session_pack_basic_train(void* hp, int64_t Ls, int64_t Ts, int32_t* u,
+                              int32_t* i, float* y, int32_t* hist_i,
+                              int32_t* hist_i_new, int32_t* sl,
+                              int32_t* sl_new) {
+  auto* h = static_cast<Handle*>(hp);
+  for (size_t r = 0; r < h->train.size(); ++r) {
+    const Example& e = h->train[r];
+    if (u) u[r] = e.uid;
+    i[r] = e.target;
+    y[r] = e.label;
+    pack_basic_common(h, e, Ls, Ts, static_cast<int64_t>(r), hist_i,
+                      hist_i_new, sl, sl_new);
+  }
+}
+
+void session_pack_basic_test(void* hp, int64_t Ls, int64_t Ts, int32_t* u,
+                             int32_t* i, int32_t* j, int32_t* hist_i,
+                             int32_t* hist_i_new, int32_t* sl,
+                             int32_t* sl_new) {
+  auto* h = static_cast<Handle*>(hp);
+  for (size_t r = 0; r < h->test.size(); ++r) {
+    const Example& e = h->test[r];
+    if (u) u[r] = e.uid;
+    i[r] = e.target;
+    j[r] = e.neg;
+    pack_basic_common(h, e, Ls, Ts, static_cast<int64_t>(r), hist_i,
+                      hist_i_new, sl, sl_new);
+  }
+}
+
+// ------------------------------------------------------------------------
+// BPR pairwise scheme (BPR/build_dataset.py:12-35): every interaction is a
+// (uid, pos, neg) triple; the last per user is the test triple.
+// ------------------------------------------------------------------------
+
+void bpr_build(const int32_t* uids, const int32_t* asins, int64_t n_rows,
+               int64_t item_count, uint64_t seed, int64_t* train_n,
+               int64_t* test_n, int32_t* train_out /* [n_rows*3] cap */,
+               int32_t* test_out /* [n_users*3] cap */) {
+  PyRandom rng(seed);
+  std::vector<uint8_t> in_pos(item_count, 0);
+  std::vector<std::array<int32_t, 3>> train, test;
+  train.reserve(n_rows);
+
+  int64_t row = 0;
+  while (row < n_rows) {
+    const int32_t uid = uids[row];
+    int64_t start = row;
+    while (row < n_rows && uids[row] == uid) ++row;
+    const int64_t len = row - start;
+    for (int64_t k = 0; k < len; ++k) in_pos[asins[start + k]] = 1;
+    for (int64_t k = 0; k < len; ++k) {
+      int64_t neg = asins[start];
+      while (in_pos[neg]) neg = rng.randint(0, item_count - 1);
+      auto& dst = (k == len - 1) ? test : train;
+      dst.push_back({uid, asins[start + k], static_cast<int32_t>(neg)});
+    }
+    for (int64_t k = 0; k < len; ++k) in_pos[asins[start + k]] = 0;
+  }
+  rng.shuffle(train);
+  rng.shuffle(test);
+  *train_n = static_cast<int64_t>(train.size());
+  *test_n = static_cast<int64_t>(test.size());
+  std::memcpy(train_out, train.data(), train.size() * 3 * sizeof(int32_t));
+  std::memcpy(test_out, test.data(), test.size() * 3 * sizeof(int32_t));
+}
 
 }  // extern "C"
 

@@ -80,3 +80,35 @@ def test_native_prefix_matches_python(clothing, model, time_mode, max_length,
         np.testing.assert_array_equal(tr_p[k], tr_n[k], err_msg=f"train {k}")
     for k in te_p.arrays:
         np.testing.assert_array_equal(te_p[k], te_n[k], err_msg=f"test {k}")
+
+
+@pytest.mark.skipif(not native.available(), reason="g++ not available")
+@pytest.mark.parametrize("variant", ["shan", "paca"])
+def test_native_session_basic_matches_python(clothing, variant):
+    reviews_df, _, cate_list, counts = clothing
+    tr_n, te_n, Ls, Ts = native.build_session_basic_packed(
+        reviews_df, cate_list, counts.item_count, variant,
+        Ls_cap=90 if variant == "paca" else None)
+
+    train, test = build_session_examples(
+        reviews_df, cate_list, counts.item_count, variant)
+    tr_p = pack_session_train(train, Ls, Ts, variant)
+    te_p = pack_session_test(test, Ls, Ts, variant)
+
+    assert tr_n.n == tr_p.n and te_n.n == te_p.n
+    assert set(tr_n.arrays) == set(tr_p.arrays)
+    for k in tr_p.arrays:
+        np.testing.assert_array_equal(tr_p[k], tr_n[k], err_msg=f"train {k}")
+    for k in te_p.arrays:
+        np.testing.assert_array_equal(te_p[k], te_n[k], err_msg=f"test {k}")
+
+
+@pytest.mark.skipif(not native.available(), reason="g++ not available")
+def test_native_bpr_matches_python(clothing):
+    from tlsan_tpu.data import build_pairwise_examples
+
+    reviews_df, _, _, counts = clothing
+    tr_n, te_n = native.build_bpr_packed(reviews_df, counts.item_count)
+    tr_p, te_p = build_pairwise_examples(reviews_df, counts.item_count)
+    np.testing.assert_array_equal(tr_p, tr_n)
+    np.testing.assert_array_equal(te_p, te_n)

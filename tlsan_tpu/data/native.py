@@ -86,6 +86,20 @@ def _load() -> ctypes.CDLL:
         _i32p, _i32p, _i32p, _i32p, _f32p, _i32p]
     lib.prefix_free.restype = None
     lib.prefix_free.argtypes = [ctypes.c_void_p]
+    lib.tlsan_max_pre.restype = None
+    lib.tlsan_max_pre.argtypes = [ctypes.c_void_p, _i64p]
+    lib.session_pack_basic_train.restype = None
+    lib.session_pack_basic_train.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        _i32p, _i32p, _f32p, _i32p, _i32p, _i32p, _i32p]
+    lib.session_pack_basic_test.restype = None
+    lib.session_pack_basic_test.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p]
+    lib.bpr_build.restype = None
+    lib.bpr_build.argtypes = [
+        _i32p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+        _i64p, _i64p, _i32p, _i32p]
     _lib = lib
     return lib
 
@@ -223,3 +237,94 @@ def build_prefix_packed(reviews_df, item_count: int, time_mode: str = "none",
         tr["hist_t"] = tr["hist_t"].astype(np.int32)
         te["hist_t"] = te["hist_t"].astype(np.int32)
     return Batches(tr, train_n), Batches(te, test_n), T
+
+
+def build_session_basic_packed(reviews_df, cate_list: np.ndarray,
+                               item_count: int, variant: str,
+                               max_length: int = 90, seed: int = 1234,
+                               Ls: Optional[int] = None,
+                               Ls_cap: Optional[int] = None,
+                               Ts: Optional[int] = None,
+                               ) -> Tuple[Batches, Batches, int, int]:
+    """Fused native build+pack for SHAN/PACA (session scheme, no time
+    features; PACA drops uid).  Bit-exact vs build_session_examples +
+    pack_session_train/_test.  Returns (train, test, Ls, Ts)."""
+    assert variant in ("shan", "paca")
+    lib = _load()
+    uids = np.ascontiguousarray(reviews_df["reviewerID"].to_numpy(), np.int32)
+    asins = np.ascontiguousarray(reviews_df["asin"].to_numpy(), np.int32)
+    times = np.ascontiguousarray(reviews_df["unixReviewTime"].to_numpy(), np.int64)
+    cate_list = np.ascontiguousarray(cate_list, np.int32)
+
+    h = lib.tlsan_build(
+        _ptr(uids, ctypes.c_int32), _ptr(asins, ctypes.c_int32),
+        _ptr(times, ctypes.c_int64), len(uids),
+        _ptr(cate_list, ctypes.c_int32), item_count,
+        int(cate_list.max()) + 1, max_length, seed)
+    try:
+        tn, sn, ts = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
+        lib.tlsan_counts(h, ctypes.byref(tn), ctypes.byref(sn), ctypes.byref(ts))
+        train_n, test_n = tn.value, sn.value
+        if Ts is None:
+            Ts = max(8, ((ts.value + 7) // 8) * 8)
+        if Ls is None:
+            mp = ctypes.c_int64()
+            lib.tlsan_max_pre(h, ctypes.byref(mp))
+            Ls = max(8, ((mp.value + 7) // 8) * 8)
+            if Ls_cap is not None:
+                Ls = min(Ls, Ls_cap)
+        has_uid = variant == "shan"
+        null_i32 = ctypes.cast(None, _i32p)
+
+        def alloc(n):
+            d = dict(i=np.empty(n, np.int32),
+                     hist_i=np.empty((n, Ls), np.int32),
+                     sl=np.empty(n, np.int32))
+            if has_uid:
+                d["u"] = np.empty(n, np.int32)
+                d["hist_i_new"] = np.empty((n, Ts), np.int32)
+                d["sl_new"] = np.empty(n, np.int32)
+            return d
+
+        tr = alloc(train_n)
+        tr["y"] = np.empty(train_n, np.float32)
+        lib.session_pack_basic_train(
+            h, Ls, Ts,
+            _ptr(tr["u"], ctypes.c_int32) if has_uid else null_i32,
+            _ptr(tr["i"], ctypes.c_int32), _ptr(tr["y"], ctypes.c_float),
+            _ptr(tr["hist_i"], ctypes.c_int32),
+            _ptr(tr["hist_i_new"], ctypes.c_int32) if has_uid else null_i32,
+            _ptr(tr["sl"], ctypes.c_int32),
+            _ptr(tr["sl_new"], ctypes.c_int32) if has_uid else null_i32)
+
+        te = alloc(test_n)
+        te["j"] = np.empty(test_n, np.int32)
+        lib.session_pack_basic_test(
+            h, Ls, Ts,
+            _ptr(te["u"], ctypes.c_int32) if has_uid else null_i32,
+            _ptr(te["i"], ctypes.c_int32), _ptr(te["j"], ctypes.c_int32),
+            _ptr(te["hist_i"], ctypes.c_int32),
+            _ptr(te["hist_i_new"], ctypes.c_int32) if has_uid else null_i32,
+            _ptr(te["sl"], ctypes.c_int32),
+            _ptr(te["sl_new"], ctypes.c_int32) if has_uid else null_i32)
+    finally:
+        lib.tlsan_free(h)
+
+    return Batches(tr, train_n), Batches(te, test_n), Ls, Ts
+
+
+def build_bpr_packed(reviews_df, item_count: int, seed: int = 1234
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Native BPR triples (uid, pos, neg): train [N,3], test [U,3] int32 —
+    bit-exact vs builders.build_pairwise_examples."""
+    lib = _load()
+    uids = np.ascontiguousarray(reviews_df["reviewerID"].to_numpy(), np.int32)
+    asins = np.ascontiguousarray(reviews_df["asin"].to_numpy(), np.int32)
+    n = len(uids)
+    train = np.empty((n, 3), np.int32)
+    test = np.empty((n, 3), np.int32)
+    tn, sn = ctypes.c_int64(), ctypes.c_int64()
+    lib.bpr_build(_ptr(uids, ctypes.c_int32), _ptr(asins, ctypes.c_int32),
+                  n, item_count, seed, ctypes.byref(tn), ctypes.byref(sn),
+                  _ptr(train, ctypes.c_int32), _ptr(test, ctypes.c_int32))
+    return train[:tn.value].copy(), test[:sn.value].copy()

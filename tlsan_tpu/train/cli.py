@@ -52,6 +52,16 @@ def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
             cfg = dataclasses.replace(cfg, Ts=Ts)
             return train_b, test_b, cate_list, cfg
 
+    if model_name in ("shan", "paca"):
+        from tlsan_tpu.data import native
+        if native.available():
+            train_b, test_b, Ls, Ts = native.build_session_basic_packed(
+                reviews_df, cate_list, counts.item_count, model_name,
+                max_length=cfg.max_length, seed=seed,
+                Ls_cap=cfg.paca_max_len if model_name == "paca" else None)
+            cfg = dataclasses.replace(cfg, Ls=Ls, Ts=Ts)
+            return train_b, test_b, cate_list, cfg
+
     if model_name in ("tlsan", "shan", "paca"):
         train_set, test_set = build_session_examples(
             reviews_df, cate_list, counts.item_count,
@@ -115,8 +125,13 @@ def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
         return train_b, test_b, cate_list, cfg
 
     if model_name == "bpr":
-        train_arr, test_arr = build_pairwise_examples(
-            reviews_df, counts.item_count, seed=seed)
+        from tlsan_tpu.data import native
+        if native.available():
+            train_arr, test_arr = native.build_bpr_packed(
+                reviews_df, counts.item_count, seed=seed)
+        else:
+            train_arr, test_arr = build_pairwise_examples(
+                reviews_df, counts.item_count, seed=seed)
         train_b = Batches(dict(u=train_arr[:, 0], i=train_arr[:, 1],
                                j=train_arr[:, 2]), len(train_arr))
         test_b = Batches(dict(u=test_arr[:, 0], i=test_arr[:, 1],
