@@ -85,3 +85,35 @@ def test_from_model_dir_roundtrip(setup, tmp_path):
     ids_b, sc_b = direct.recommend(batch)
     np.testing.assert_array_equal(ids_a, ids_b)
     np.testing.assert_allclose(sc_a, sc_b, rtol=1e-6)
+
+
+def test_meshed_matches_single_chip(setup):
+    from tlsan_tpu.parallel.mesh import make_mesh
+
+    cfg, params, batch, cate_list = setup
+    mesh = make_mesh(dp=2, mp=2)
+    single = Recommender(TLSAN, params, cate_list, cfg, k=5,
+                         use_pallas=False, batch_size=16)
+    meshed = Recommender(TLSAN, params, cate_list, cfg, k=5,
+                         use_pallas=False, batch_size=16, mesh=mesh)
+    ids_a, sc_a = single.recommend(batch)
+    ids_b, sc_b = meshed.recommend(batch)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(sc_a, sc_b, rtol=1e-5, atol=1e-5)
+
+
+def test_meshed_exclude_history(setup):
+    from tlsan_tpu.parallel.mesh import make_mesh
+
+    cfg, params, batch, cate_list = setup
+    mesh = make_mesh(dp=2, mp=2)
+    meshed = Recommender(TLSAN, params, cate_list, cfg, k=10,
+                         use_pallas=False, batch_size=16, mesh=mesh,
+                         exclude_history=True)
+    ids, scores = meshed.recommend(batch)
+    for r in range(16):
+        hist = set(batch["hist_i"][r, :batch["sl"][r]].tolist())
+        hist |= set(batch["hist_i_new"][r, :batch["sl_new"][r]].tolist())
+        ranked = [i for i, s in zip(ids[r], scores[r]) if np.isfinite(s)]
+        assert not hist.intersection(ranked)
+        assert len(ranked) > 0

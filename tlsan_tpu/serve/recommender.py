@@ -44,7 +44,8 @@ class Recommender:
 
     def __init__(self, model, params, cate_list, cfg: ModelConfig,
                  k: int = 50, use_pallas: Optional[bool] = None,
-                 exclude_history: bool = False, batch_size: int = 128):
+                 exclude_history: bool = False, batch_size: int = 128,
+                 mesh=None, vocab_sharded: bool = False):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.model, self.cfg, self.k = model, cfg, k
@@ -53,7 +54,15 @@ class Recommender:
         self.cate_list = jnp.asarray(cate_list)
         self._exclude = exclude_history
         self._use_pallas = use_pallas
-        self._fn = jax.jit(self._recommend)
+        self._mesh, self._vs = mesh, vocab_sharded
+        if mesh is not None:
+            # distributed scoring: fetch extra candidates so host-side
+            # history exclusion still leaves k survivors
+            slack = (cfg.Ls + cfg.Ts) if exclude_history else 0
+            self._k_fetch = k + slack
+            self._fn = jax.jit(self._recommend_meshed)
+        else:
+            self._fn = jax.jit(self._recommend)
 
     # ------------------------------------------------------------- compute
 
@@ -78,6 +87,47 @@ class Recommender:
         vals, idx = jax.lax.top_k(logits, k_eff)
         return idx, vals
 
+    def _recommend_meshed(self, params, batch):
+        """(dp, mp)-meshed scoring: user towers batch-sharded over dp,
+        catalog rows sharded over mp, k·mp candidate exchange
+        (parallel/topk.py); history exclusion happens host-side on the
+        k+slack candidates."""
+        from contextlib import nullcontext
+
+        from tlsan_tpu.nn.embedding import vocab_sharded as _vs_ctx
+        from tlsan_tpu.parallel.topk import sharded_topk_scores
+
+        with _vs_ctx(self._mesh) if self._vs else nullcontext():
+            u = self.model.user_repr(params, batch, self.cate_list, self.cfg,
+                                     self._use_pallas)
+            all_emb, all_b = self.model.all_item_repr(params, self.cate_list,
+                                                      self.cfg)
+        V = all_emb.shape[0]
+        bias = all_b if all_b is not None else jnp.zeros((V,), all_emb.dtype)
+        if self.cfg.catalog_items and self.cfg.catalog_items < V:
+            bias = jnp.where(jnp.arange(V) < self.cfg.catalog_items,
+                             bias, -jnp.inf)
+        k_fetch = min(self._k_fetch, V)
+        vals, idx = sharded_topk_scores(self._mesh, u, all_emb, bias, k_fetch)
+        return idx, vals
+
+    def _exclude_host(self, batch, ids, vals):
+        """Filter history items out of the candidate lists (mesh path)."""
+        B = len(ids)
+        out_i = np.full((B, self.k), -1, np.int32)
+        out_v = np.full((B, self.k), -np.inf, np.float32)
+        for r in range(B):
+            hist = set()
+            for ids_key, len_key in _HISTORY_KEYS:
+                if ids_key in batch and len_key in batch:
+                    n = int(batch[len_key][r])
+                    hist.update(np.asarray(batch[ids_key][r][:n]).tolist())
+            keep = [c for c, cand in enumerate(ids[r]) if cand not in hist]
+            keep = keep[:self.k]
+            out_i[r, :len(keep)] = ids[r][keep]
+            out_v[r, :len(keep)] = vals[r][keep]
+        return out_i, out_v
+
     # -------------------------------------------------------------- public
 
     def recommend(self, batch: Dict[str, np.ndarray]
@@ -96,8 +146,14 @@ class Recommender:
         for c in range(dev[next(iter(dev))].shape[0]):
             chunk = {key: v[c] for key, v in dev.items()}
             idx, vals = self._fn(self.params, chunk)
-            ids_out.append(np.asarray(idx))
-            vals_out.append(np.asarray(vals))
+            idx, vals = np.asarray(idx), np.asarray(vals)
+            if self._mesh is not None:
+                if self._exclude:
+                    idx, vals = self._exclude_host(chunk, idx, vals)
+                else:
+                    idx, vals = idx[:, :self.k], vals[:, :self.k]
+            ids_out.append(idx)
+            vals_out.append(vals)
         return (np.concatenate(ids_out)[:n], np.concatenate(vals_out)[:n])
 
     # ---------------------------------------------------------- checkpoint
