@@ -92,7 +92,8 @@ class ATRank:
              lookup(params["cate_emb"], cate_list[ids])], axis=-1)
 
     @staticmethod
-    def _user_repr_for(params, query_items, batch, cate_list, cfg):
+    def _user_repr_for(params, query_items, batch, cate_list, cfg,
+                       use_pallas=False):
         """User tower conditioned on the given query items [B]."""
         h = ATRank._embed_items(params, batch["hist_i"], cate_list)
         if cfg.concat_time_emb:
@@ -114,26 +115,41 @@ class ATRank:
             rng, sub = jax.random.split(rng)
             return sub
 
+        # fused Pallas attention on TPU when no attention-prob dropout is
+        # needed (ops/pallas/mha.py — exact vs the jnp path,
+        # tests/test_pallas_mha.py)
+        fused = use_pallas and cfg.dropout <= 0.0
+        if fused:
+            from tlsan_tpu.ops.pallas.mha import mha_pallas
+
         enc = h
         for blk in params["self_blocks"]:
-            enc, _ = multihead_attention(enc, sl, enc, sl,
-                                         cfg.num_heads, blk["attn"],
-                                         cfg.dropout, next_rng())
+            if fused:
+                enc = mha_pallas(enc, enc, sl, sl, cfg.num_heads, blk["attn"])
+            else:
+                enc, _ = multihead_attention(enc, sl, enc, sl,
+                                             cfg.num_heads, blk["attn"],
+                                             cfg.dropout, next_rng())
             enc = feedforward(enc, blk["ffn"])
 
         i_emb = ATRank._embed_items(params, query_items, cate_list)
         dec = i_emb[:, None, :]
         ones = jnp.ones_like(sl)
         for blk in params["vanilla_blocks"]:
-            dec, _ = multihead_attention(dec, ones, enc, sl,
-                                         cfg.num_heads, blk["attn"],
-                                         cfg.dropout, next_rng())
+            if fused:
+                dec = mha_pallas(dec, enc, ones, sl, cfg.num_heads,
+                                 blk["attn"])
+            else:
+                dec, _ = multihead_attention(dec, ones, enc, sl,
+                                             cfg.num_heads, blk["attn"],
+                                             cfg.dropout, next_rng())
             dec = feedforward(dec, blk["ffn"])
         return dec[:, 0, :]
 
     @staticmethod
     def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
-        return ATRank._user_repr_for(params, batch["i"], batch, cate_list, cfg)
+        return ATRank._user_repr_for(params, batch["i"], batch, cate_list, cfg,
+                                     use_pallas)
 
     @staticmethod
     def item_repr(params, ids, cate_list, cfg: ModelConfig):
@@ -166,8 +182,10 @@ class ATRank:
         # the user tower is query-conditioned, so pos and neg each get their
         # own forward (matching the reference's two sess.runs,
         # ATRank/model.py:253-282)
-        u_pos = ATRank._user_repr_for(params, batch["i"], batch, cate_list, cfg)
-        u_neg = ATRank._user_repr_for(params, batch["j"], batch, cate_list, cfg)
+        u_pos = ATRank._user_repr_for(params, batch["i"], batch, cate_list,
+                                      cfg, use_pallas)
+        u_neg = ATRank._user_repr_for(params, batch["j"], batch, cate_list,
+                                      cfg, use_pallas)
         pe, pb = ATRank.item_repr(params, batch["i"], cate_list, cfg)
         ne, nb = ATRank.item_repr(params, batch["j"], cate_list, cfg)
         return (base.pointwise_logits(u_pos, pe, pb),
