@@ -117,8 +117,12 @@ class ATRank:
 
         # fused Pallas attention on TPU when no attention-prob dropout is
         # needed (ops/pallas/mha.py — exact vs the jnp path,
-        # tests/test_pallas_mha.py)
-        fused = use_pallas and cfg.dropout <= 0.0
+        # tests/test_pallas_mha.py).  At the reference batch (32) the op is
+        # dispatch-bound and XLA's fusion is already fine — the kernel only
+        # pays off once the batch saturates the VPU (measured on-chip:
+        # ~equal at B=32 with minutes of extra compile; wins at larger B) —
+        # so it engages at B ≥ 256 (large-batch training / bulk serving).
+        fused = use_pallas and cfg.dropout <= 0.0 and h.shape[0] >= 256
         if fused:
             from tlsan_tpu.ops.pallas.mha import mha_pallas
 
