@@ -112,3 +112,23 @@ def test_native_bpr_matches_python(clothing):
     tr_p, te_p = build_pairwise_examples(reviews_df, counts.item_count)
     np.testing.assert_array_equal(tr_p, tr_n)
     np.testing.assert_array_equal(te_p, te_n)
+
+
+@pytest.mark.skipif(not native.available(), reason="g++ not available")
+def test_native_session_shapes_match_cli_python_path(clothing):
+    """Ls/Ts emitted by the native path must equal what train/cli.py's
+    Python fallback would compute (they land in the config sidecar)."""
+    reviews_df, _, cate_list, counts = clothing
+    # paca: Python pins Ts = _round8(1) = 8 (no short session in the batch)
+    _, _, _, Ts = native.build_session_basic_packed(
+        reviews_df, cate_list, counts.item_count, "paca", Ls_cap=90)
+    assert Ts == 8
+    # shan: Ls = round8(max pre), Ts = round8(max new) over train+test
+    _, _, Ls_n, Ts_n = native.build_session_basic_packed(
+        reviews_df, cate_list, counts.item_count, "shan")
+    train, test = build_session_examples(
+        reviews_df, cate_list, counts.item_count, "shan")
+    r8 = lambda n: max(8, ((n + 7) // 8) * 8)
+    Ls_p = r8(max(max(len(t[1]) for t in train), max(len(t[1]) for t in test)))
+    Ts_p = r8(max(max(len(t[2]) for t in train), max(len(t[2]) for t in test)))
+    assert (Ls_n, Ts_n) == (Ls_p, Ts_p)

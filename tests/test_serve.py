@@ -117,3 +117,29 @@ def test_meshed_exclude_history(setup):
         ranked = [i for i, s in zip(ids[r], scores[r]) if np.isfinite(s)]
         assert not hist.intersection(ranked)
         assert len(ranked) > 0
+
+
+def test_exclude_history_right_aligned_lspm():
+    from tlsan_tpu.models.lspm import LSPM
+
+    cfg = ModelConfig(model="lspm", user_count=16, item_count=32,
+                      cate_count=4, catalog_items=32)
+    params = LSPM.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    B, k = 8, cfg.lspm_k
+    sl = rng.integers(1, k + 1, B).astype(np.int32)
+    hist = np.zeros((B, k), np.int32)
+    for r in range(B):  # right-aligned: real items in the LAST sl columns
+        hist[r, k - sl[r]:] = rng.integers(1, 32, sl[r])
+    batch = {"u": rng.integers(0, 16, B).astype(np.int32),
+             "hist_i": hist, "sl": sl}
+    rec = Recommender(LSPM, params, np.zeros(32, np.int32), cfg, k=30,
+                      use_pallas=False, exclude_history=True, batch_size=8)
+    ids, scores = rec.recommend(batch)
+    for r in range(B):
+        real = set(hist[r, k - sl[r]:].tolist())
+        ranked = [i for i, s in zip(ids[r], scores[r]) if np.isfinite(s)]
+        assert not real.intersection(ranked)
+        # pad id 0 must NOT be excluded (it's a real catalog item)
+        if sl[r] < k:
+            assert 0 in ranked

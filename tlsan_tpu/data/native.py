@@ -131,7 +131,7 @@ def build_tlsan_packed(reviews_df, cate_list: np.ndarray, item_count: int,
         lib.tlsan_counts(h, ctypes.byref(tn), ctypes.byref(sn), ctypes.byref(ts))
         train_n, test_n = tn.value, sn.value
         if Ts is None:
-            Ts = max(8, ((ts.value + 7) // 8) * 8)
+            Ts = _round8(ts.value)
 
         def alloc(n):
             return dict(
@@ -170,6 +170,12 @@ def build_tlsan_packed(reviews_df, cate_list: np.ndarray, item_count: int,
 _TIME_MODES = {"none": 0, "bucket": 1, "raw": 2}
 
 
+def _round8(n: int) -> int:
+    """Pad a ragged max to a lane-friendly multiple of 8 (same rule as
+    train/cli.py so native and Python builds agree on shapes)."""
+    return max(8, ((n + 7) // 8) * 8)
+
+
 def build_prefix_packed(reviews_df, item_count: int, time_mode: str = "none",
                         max_length: int = 90, pack_pos_neg: bool = False,
                         align: str = "left", T: Optional[int] = None,
@@ -193,7 +199,7 @@ def build_prefix_packed(reviews_df, item_count: int, time_mode: str = "none",
         lib.prefix_counts(h, ctypes.byref(tn), ctypes.byref(sn), ctypes.byref(mh))
         train_n, test_n = tn.value, sn.value
         if T is None:
-            T = max(8, ((mh.value + 7) // 8) * 8)
+            T = _round8(mh.value)
         ar = 1 if align == "right" else 0
         with_time = tm != 0
         null_f32 = ctypes.cast(None, _f32p)
@@ -266,11 +272,14 @@ def build_session_basic_packed(reviews_df, cate_list: np.ndarray,
         lib.tlsan_counts(h, ctypes.byref(tn), ctypes.byref(sn), ctypes.byref(ts))
         train_n, test_n = tn.value, sn.value
         if Ts is None:
-            Ts = max(8, ((ts.value + 7) // 8) * 8)
+            # PACA carries no short session — the Python path pins Ts to
+            # _round8(1) = 8 (train/cli.py sess_max=1); match it so cfg.Ts
+            # is identical between native and Python builds
+            Ts = 8 if variant == "paca" else _round8(ts.value)
         if Ls is None:
             mp = ctypes.c_int64()
             lib.tlsan_max_pre(h, ctypes.byref(mp))
-            Ls = max(8, ((mp.value + 7) // 8) * 8)
+            Ls = _round8(mp.value)
             if Ls_cap is not None:
                 Ls = min(Ls, Ls_cap)
         has_uid = variant == "shan"

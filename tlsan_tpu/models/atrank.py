@@ -122,7 +122,10 @@ class ATRank:
         # pays off once the batch saturates the VPU (measured on-chip:
         # ~equal at B=32 with minutes of extra compile; wins at larger B) —
         # so it engages at B ≥ 256 (large-batch training / bulk serving).
-        fused = use_pallas and cfg.dropout <= 0.0 and h.shape[0] >= 256
+        # (a dropout-trained cfg still fuses at inference, where no
+        # dropout_rng is supplied and the jnp path is deterministic anyway)
+        no_dropout = cfg.dropout <= 0.0 or batch.get("dropout_rng") is None
+        fused = use_pallas and no_dropout and h.shape[0] >= 256
         if fused:
             from tlsan_tpu.ops.pallas.mha import mha_pallas
 

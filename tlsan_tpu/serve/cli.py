@@ -32,22 +32,33 @@ def main(argv=None):
     p.add_argument("--exclude_history", action="store_true")
     args = p.parse_args(argv)
 
-    # rebuild the test split as request traffic (same packing as eval)
-    from tlsan_tpu.core.config import ModelConfig
+    # model name: --model, else the latest checkpoint's JSON config sidecar
+    from tlsan_tpu.core.config import ModelConfig, load_config_json
+    from tlsan_tpu.train import checkpoint
     from tlsan_tpu.train.cli import prepare
 
-    sidecar_model = args.model or "tlsan"
-    cfg0 = ModelConfig(model=sidecar_model)
+    model_name = args.model
+    if model_name is None:
+        path = checkpoint.latest_checkpoint(args.model_dir)
+        if path is None:
+            raise SystemExit(f"no checkpoint under {args.model_dir}")
+        cfg_d = load_config_json(path[:-len(".ckpt")] + ".json")
+        model_name = cfg_d["ModelConfig"]["model"]
+
+    # rebuild the test split as request traffic (same packing as eval)
+    cfg0 = ModelConfig(model=model_name)
     _, test_b, cate_list, _ = prepare(
-        sidecar_model, os.path.join(args.data_dir, f"{args.dataset}.pkl"), cfg0)
+        model_name, os.path.join(args.data_dir, f"{args.dataset}.pkl"), cfg0)
 
     rec = Recommender.from_model_dir(
-        args.model_dir, cate_list, args.model, k=args.k,
+        args.model_dir, cate_list, model_name, k=args.k,
         batch_size=args.batch, exclude_history=args.exclude_history)
 
-    batch = {k: v for k, v in test_b.arrays.items()
-             if k not in ("i", "j", "y")}
-    n = len(batch["u"]) if "u" in batch else len(next(iter(batch.values())))
+    # ATRank/CSAN condition the user tower on the candidate item (reference
+    # eval quirk, SURVEY.md §2.4) — their eval batch keeps "i" as the query
+    drop = ("j", "y") if model_name in ("atrank", "csan") else ("i", "j", "y")
+    batch = {k: v for k, v in test_b.arrays.items() if k not in drop}
+    n = len(next(iter(batch.values())))
 
     ids, scores = rec.recommend(batch)  # warm + compile
     t0 = time.perf_counter()

@@ -34,6 +34,17 @@ from tlsan_tpu.train import checkpoint
 _HISTORY_KEYS = (("hist_i", "sl"), ("hist_i_new", "sl_new"))
 
 
+def _history_valid_mask(ids_shape, lengths, right_aligned: bool):
+    """[B, L] bool: which columns hold real history items.  Left-aligned
+    packing fills [0, sl); LSPM's right-aligned window fills [L-sl, L)
+    (batcher._scatter_pad align='right')."""
+    L = ids_shape[1]
+    cols = jnp.arange(L)[None, :]
+    if right_aligned:
+        return cols >= (L - lengths[:, None])
+    return cols < lengths[:, None]
+
+
 class Recommender:
     """Top-k item recommendation from a trained model.
 
@@ -54,12 +65,10 @@ class Recommender:
         self.cate_list = jnp.asarray(cate_list)
         self._exclude = exclude_history
         self._use_pallas = use_pallas
+        # LSPM packs its fixed-k window right-aligned (LSPM/input.py:30-37)
+        self._right_aligned = cfg.model == "lspm"
         self._mesh, self._vs = mesh, vocab_sharded
         if mesh is not None:
-            # distributed scoring: fetch extra candidates so host-side
-            # history exclusion still leaves k survivors
-            slack = (cfg.Ls + cfg.Ts) if exclude_history else 0
-            self._k_fetch = k + slack
             self._fn = jax.jit(self._recommend_meshed)
         else:
             self._fn = jax.jit(self._recommend)
@@ -79,7 +88,9 @@ class Recommender:
                 if ids_key in batch and len_key in batch:
                     ids = batch[ids_key]  # [B, L]
                     B, L = ids.shape
-                    valid = jnp.arange(L)[None, :] < batch[len_key][:, None]
+                    valid = _history_valid_mask(
+                        ids.shape, batch[len_key],
+                        self._right_aligned and ids_key == "hist_i")
                     rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
                     logits = logits.at[rows, ids].add(
                         jnp.where(valid, -jnp.inf, 0.0))
@@ -107,7 +118,15 @@ class Recommender:
         if self.cfg.catalog_items and self.cfg.catalog_items < V:
             bias = jnp.where(jnp.arange(V) < self.cfg.catalog_items,
                              bias, -jnp.inf)
-        k_fetch = min(self._k_fetch, V)
+        # fetch slack = this batch's actual max excludable history width
+        # (shapes are static at trace time), so host-side filtering always
+        # leaves k survivors
+        slack = 0
+        if self._exclude:
+            slack = sum(batch[ids_key].shape[1]
+                        for ids_key, len_key in _HISTORY_KEYS
+                        if ids_key in batch and len_key in batch)
+        k_fetch = min(self.k + slack, V)
         vals, idx = sharded_topk_scores(self._mesh, u, all_emb, bias, k_fetch)
         return idx, vals
 
@@ -121,7 +140,12 @@ class Recommender:
             for ids_key, len_key in _HISTORY_KEYS:
                 if ids_key in batch and len_key in batch:
                     n = int(batch[len_key][r])
-                    hist.update(np.asarray(batch[ids_key][r][:n]).tolist())
+                    row = np.asarray(batch[ids_key][r])
+                    if self._right_aligned and ids_key == "hist_i":
+                        row = row[len(row) - n:]
+                    else:
+                        row = row[:n]
+                    hist.update(row.tolist())
             keep = [c for c, cand in enumerate(ids[r]) if cand not in hist]
             keep = keep[:self.k]
             out_i[r, :len(keep)] = ids[r][keep]
