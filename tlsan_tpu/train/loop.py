@@ -198,6 +198,7 @@ class Trainer:
         steps_since_eval = 0
         for epoch in range(tc.max_epochs):
             t_epoch = time.time()
+            examples_at_epoch_start = examples_seen
             for chunk_idx in self._epoch_index(epoch):
                 self.params, self.opt_state, loss = self._train_chunk(
                     self.params, self.opt_state, jnp.asarray(chunk_idx))
@@ -217,9 +218,14 @@ class Trainer:
                             ckpt.save(tc.model_dir, self.model.name, self.step,
                                       self.params, self.opt_state, self.cfg, tc)
             dt = time.time() - t_epoch
+            epoch_examples = examples_seen - examples_at_epoch_start
             self.writer.write("epoch", self.step, {
                 "epoch": epoch, "epoch_s": dt,
-                "examples_per_s": examples_seen / max(time.time() - t_start, 1e-9),
+                # steady-state rate for THIS epoch (excludes eval/compile of
+                # earlier epochs) + cumulative including first-epoch compile
+                "examples_per_s": epoch_examples / max(dt, 1e-9),
+                "cum_examples_per_s":
+                    examples_seen / max(time.time() - t_start, 1e-9),
             })
 
         final = self.evaluate()
