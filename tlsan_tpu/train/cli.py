@@ -165,6 +165,12 @@ def main(argv=None):
     p.add_argument("--mp", type=int, default=1,
                    help="model-parallel mesh axis (vocab-table row sharding)")
     p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--lspm_k", type=int, default=5,
+                   help="LSPM short-term window (reference k=5)")
+    p.add_argument("--lspm_alpha", type=float, default=1.0,
+                   help="LSPM short-term weight (reference alpha=1.0)")
+    p.add_argument("--regulation_rate", type=float, default=None,
+                   help="L2 rate override (reference: 1e-2 LSPM, 5e-5 others)")
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few train chunks "
@@ -191,10 +197,13 @@ def main(argv=None):
                     "shan": 150_000, "bilstm": 270_000, "bpr": 10**9}
     hidden = {"csan": 32}.get(args.model, 64)
     # LSPM regularizes at 1e-2, all others at 5e-5 (LSPM/train.py:31)
-    reg = {"lspm": 1e-2}.get(args.model, 5e-5)
+    reg = args.regulation_rate
+    if reg is None:
+        reg = {"lspm": 1e-2}.get(args.model, 5e-5)
 
     cfg = ModelConfig(model=args.model, hidden_units=hidden,
-                      dropout=args.dropout, regulation_rate=reg)
+                      dropout=args.dropout, regulation_rate=reg,
+                      lspm_k=args.lspm_k, lspm_alpha=args.lspm_alpha)
     tc = TrainConfig(
         dataset=args.dataset,
         data_dir=args.data_dir,
