@@ -165,6 +165,9 @@ def main(argv=None):
     p.add_argument("--mp", type=int, default=1,
                    help="model-parallel mesh axis (vocab-table row sharding)")
     p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--Ls", type=int, default=10,
+                   help="TLSAN long-term window (reference flag, "
+                        "TLSAN/train.py:29)")
     p.add_argument("--lspm_k", type=int, default=5,
                    help="LSPM short-term window (reference k=5)")
     p.add_argument("--lspm_alpha", type=float, default=1.0,
@@ -203,7 +206,8 @@ def main(argv=None):
 
     cfg = ModelConfig(model=args.model, hidden_units=hidden,
                       dropout=args.dropout, regulation_rate=reg,
-                      lspm_k=args.lspm_k, lspm_alpha=args.lspm_alpha)
+                      Ls=args.Ls, lspm_k=args.lspm_k,
+                      lspm_alpha=args.lspm_alpha)
     tc = TrainConfig(
         dataset=args.dataset,
         data_dir=args.data_dir,
