@@ -51,6 +51,8 @@ def main():
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--steps_per_call", type=int, default=200)
     p.add_argument("--baseline_steps", type=int, default=200)
+    p.add_argument("--no_pallas", action="store_true",
+                   help="A/B: run the fused path with the jnp/XLA attention")
     args = p.parse_args()
 
     import jax
@@ -75,7 +77,7 @@ def main():
                      train_batch_size=args.batch)
     log(f"dataset={args.dataset} n={n} {counts} backend={jax.default_backend()}")
 
-    use_pallas = jax.default_backend() == "tpu"
+    use_pallas = jax.default_backend() == "tpu" and not args.no_pallas
     rng = np.random.default_rng(0)
 
     # ---------------- fused TPU path: device-resident data + scan ----------

@@ -24,16 +24,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=50, warmup=5):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, x, reps=64, chain=None):
+    """Per-iteration time with `reps` iterations fused into ONE dispatch.
+
+    The axon tunnel adds ~0.6 ms per dispatch — timing individual jitted
+    calls measures the RPC, not the kernel.  A lax.scan chains `reps`
+    data-dependent iterations inside one jit; `chain(x, out)` must produce
+    the next x from the output so XLA cannot elide or overlap iterations.
+    """
+    @jax.jit
+    def many(x):
+        def body(c, _):
+            return chain(c, fn(c)), None
+        c, _ = jax.lax.scan(body, x, None, length=reps)
+        return c
+
+    out = many(x)
+    jax.block_until_ready(out)  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
+        jax.block_until_ready(many(x))
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
@@ -62,12 +73,15 @@ def bench_fwa(B, S, D, H, sol_gbps):
 
     # fwd traffic: read x [B,S,D] + write out [B,D] (weights negligible)
     bytes_fwd = 4 * (B * S * D + B * D)
+    # fwd chains out [B,D] back into x [B,S,D]; bwd's grad is x-shaped
+    chain_f = lambda c, out: c * 0.5 + 1e-3 * out[:, None, :]
+    chain_g = lambda c, g: c * 0.5 + 1e-3 * g
     rows = []
-    for tag, fn, byt in (("fwa.fwd.pallas", pallas_f, bytes_fwd),
-                         ("fwa.fwd.jnp", jnp_f, bytes_fwd),
-                         ("fwa.bwd.pallas", pallas_g, 3 * bytes_fwd),
-                         ("fwa.bwd.jnp", jnp_g, 3 * bytes_fwd)):
-        dt = timeit(fn, x)
+    for tag, fn, byt, ch in (("fwa.fwd.pallas", pallas_f, bytes_fwd, chain_f),
+                             ("fwa.fwd.jnp", jnp_f, bytes_fwd, chain_f),
+                             ("fwa.bwd.pallas", pallas_g, 3 * bytes_fwd, chain_g),
+                             ("fwa.bwd.jnp", jnp_g, 3 * bytes_fwd, chain_g)):
+        dt = timeit(fn, x, chain=ch)
         rows.append({"kernel": tag, "B": B, "S": S, "D": D, "us": dt * 1e6,
                      "gbps": byt / dt / 1e9,
                      "sol_frac": byt / dt / 1e9 / sol_gbps})
@@ -96,12 +110,13 @@ def bench_mha(B, T, D, H, sol_gbps):
                                atol=3e-5, rtol=3e-5)
 
     bytes_fwd = 4 * (B * T * D * 2 + 3 * D * D)
+    chain = lambda c, out: c * 0.5 + 1e-3 * out  # out/grad are q-shaped
     rows = []
     for tag, fn, byt in (("mha.fwd.pallas", pallas_f, bytes_fwd),
                          ("mha.fwd.jnp", jnp_f, bytes_fwd),
                          ("mha.bwd.pallas", pallas_g, 3 * bytes_fwd),
                          ("mha.bwd.jnp", jnp_g, 3 * bytes_fwd)):
-        dt = timeit(fn, q)
+        dt = timeit(fn, q, chain=chain)
         rows.append({"kernel": tag, "B": B, "T": T, "D": D, "us": dt * 1e6,
                      "gbps": byt / dt / 1e9,
                      "sol_frac": byt / dt / 1e9 / sol_gbps})
