@@ -80,16 +80,21 @@ def shard_train_state(mesh, params, opt_state, vocab_sharded: bool = True):
     weights replicated; opt_state mirrors params leaf-for-leaf."""
     p_sh = param_shardings(mesh, params, vocab_sharded)
     params = jax.device_put(params, p_sh)
-    # optimizer state leaves that mirror a param shape (adam/rmsprop moments)
-    # get that param's sharding; scalars (clip/schedule counters) replicate
-    def opt_leaf_sharding(leaf):
-        for p, s in zip(jax.tree_util.tree_leaves(params),
-                        jax.tree_util.tree_leaves(p_sh)):
-            if jnp.shape(leaf) == jnp.shape(p) and jnp.shape(leaf) != ():
-                return s
-        return replicated(mesh)
+    # optimizer-state subtrees that mirror the params STRUCTURE (adam/rmsprop
+    # moments) inherit the params shardings wholesale; everything else
+    # (clip/schedule counters) replicates.  Structure matching — not shape
+    # matching — so same-shaped sharded/replicated tables (e.g. LSPM's
+    # item_emb vs short_w) can never pick up each other's layout.
+    pdef = jax.tree_util.tree_structure(params)
 
-    o_sh = jax.tree_util.tree_map(opt_leaf_sharding, opt_state)
+    def place(node):
+        if jax.tree_util.tree_structure(node) == pdef:
+            return p_sh
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), node)
+
+    o_sh = jax.tree_util.tree_map(
+        place, opt_state,
+        is_leaf=lambda n: jax.tree_util.tree_structure(n) == pdef)
     opt_state = jax.device_put(opt_state, o_sh)
     return params, opt_state
 

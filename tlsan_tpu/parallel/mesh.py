@@ -15,8 +15,6 @@ size).  PP/EP/CP/SP are intentionally out of scope: sequences are ≤90 items of
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.experimental import mesh_utils
@@ -30,15 +28,25 @@ VOCAB_SHARDED_PARAMS = ("item_emb", "item_b", "user_emb", "usert_emb", "cate_emb
 
 
 def make_mesh(dp: int = 0, mp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, mp) mesh; dp=0 means "all remaining devices"."""
-    if devices is None:
-        devices = jax.devices()
-    n = len(devices)
+    """Build a (dp, mp) mesh; dp=0 means "all remaining devices".
+
+    With no explicit device list, mesh_utils picks an ICI-topology-aware
+    ordering (mp neighbors on adjacent links) — a raw jax.devices() reshape
+    can place the per-lookup mp collectives across slow paths.  An explicit
+    `devices` list (tests, virtual CPU meshes) is honored as given.
+    """
+    n = len(devices) if devices is not None else len(jax.devices())
     if dp <= 0:
         assert n % mp == 0, f"{n} devices not divisible by mp={mp}"
         dp = n // mp
     assert dp * mp <= n, f"mesh {dp}x{mp} needs {dp*mp} devices, have {n}"
-    arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    if devices is None:
+        try:
+            arr = mesh_utils.create_device_mesh((dp, mp))
+        except (ValueError, AssertionError):  # partial slice / odd counts
+            arr = np.asarray(jax.devices()[: dp * mp]).reshape(dp, mp)
+    else:
+        arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, (DP_AXIS, MP_AXIS))
 
 

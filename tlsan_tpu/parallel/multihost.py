@@ -45,6 +45,10 @@ def init_distributed(coordinator: Optional[str] = None,
 def local_batch_slice(global_batch: int) -> slice:
     """The rows of a globally-indexed batch owned by this host (contiguous
     per-process sharding of the dp axis)."""
-    per = global_batch // jax.process_count()
+    n_proc = jax.process_count()
+    assert global_batch % n_proc == 0, (
+        f"global batch {global_batch} must divide evenly over "
+        f"{n_proc} processes — remainder rows would be fed by no host")
+    per = global_batch // n_proc
     start = jax.process_index() * per
     return slice(start, start + per)

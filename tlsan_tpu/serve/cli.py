@@ -39,7 +39,7 @@ def main(argv=None):
 
     model_name = args.model
     if model_name is None:
-        path = checkpoint.latest_checkpoint(args.model_dir)
+        path = checkpoint.best_checkpoint(args.model_dir)
         if path is None:
             raise SystemExit(f"no checkpoint under {args.model_dir}")
         cfg_d = load_config_json(path[:-len(".ckpt")] + ".json")

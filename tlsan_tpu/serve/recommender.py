@@ -186,9 +186,10 @@ class Recommender:
     def from_model_dir(cls, model_dir: str, cate_list,
                        model_name: Optional[str] = None,
                        **kwargs) -> "Recommender":
-        """Load the latest checkpoint + JSON config sidecar written by the
-        trainer (train/checkpoint.py contract)."""
-        path = checkpoint.latest_checkpoint(model_dir)
+        """Load the best gated-save checkpoint (falling back to latest) +
+        JSON config sidecar written by the trainer — the final-epoch save is
+        often past the AUC peak (train/checkpoint.py contract)."""
+        path = checkpoint.best_checkpoint(model_dir)
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {model_dir}")
         sidecar = path[:-len(".ckpt")] + ".json"

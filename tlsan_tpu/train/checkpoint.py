@@ -17,12 +17,16 @@ import flax.serialization as fser
 from tlsan_tpu.core.config import save_config_json
 
 LATEST = "latest"
+BEST = "best"
 
 
 def save(model_dir: str, name: str, step: int, params: Any, opt_state: Any,
-         *configs: Any) -> str:
+         *configs: Any, best: bool = False) -> str:
     """Write `<name>-<step>.ckpt` + `<name>-<step>.json` sidecar and update
-    the latest-pointer (reference: TLSAN/model.py:302-307)."""
+    the latest-pointer (reference: TLSAN/model.py:302-307).  `best=True`
+    additionally updates the best-pointer, which the unconditional
+    final-epoch save never touches — so serving can load the gated-best
+    params even after the model overfits past its peak."""
     os.makedirs(model_dir, exist_ok=True)
     stem = os.path.join(model_dir, f"{name}-{step}")
     payload = {"step": step, "params": params, "opt_state": opt_state}
@@ -30,21 +34,32 @@ def save(model_dir: str, name: str, step: int, params: Any, opt_state: Any,
         f.write(fser.to_bytes(payload))
     if configs:
         save_config_json(stem + ".json", *configs)
-    with open(os.path.join(model_dir, LATEST), "w") as f:
-        f.write(f"{name}-{step}.ckpt\n")
+    pointers = (LATEST, BEST) if best else (LATEST,)
+    for pointer in pointers:
+        with open(os.path.join(model_dir, pointer), "w") as f:
+            f.write(f"{name}-{step}.ckpt\n")
     return stem + ".ckpt"
 
 
-def latest_checkpoint(model_dir: str) -> Optional[str]:
-    """Path of the newest checkpoint, or None
-    (≡ tf.train.get_checkpoint_state at TLSAN/train.py:71)."""
-    pointer = os.path.join(model_dir, LATEST)
+def _read_pointer(model_dir: str, pointer_name: str) -> Optional[str]:
+    pointer = os.path.join(model_dir, pointer_name)
     if not os.path.exists(pointer):
         return None
     with open(pointer) as f:
         fname = f.read().strip()
     path = os.path.join(model_dir, fname)
     return path if os.path.exists(path) else None
+
+
+def latest_checkpoint(model_dir: str) -> Optional[str]:
+    """Path of the newest checkpoint, or None
+    (≡ tf.train.get_checkpoint_state at TLSAN/train.py:71)."""
+    return _read_pointer(model_dir, LATEST)
+
+
+def best_checkpoint(model_dir: str) -> Optional[str]:
+    """Path of the best gated-save checkpoint, falling back to latest."""
+    return _read_pointer(model_dir, BEST) or _read_pointer(model_dir, LATEST)
 
 
 def restore(path: str, params_template: Any, opt_state_template: Any

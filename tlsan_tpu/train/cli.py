@@ -215,10 +215,12 @@ def main(argv=None):
         from_scratch=args.from_scratch,
         optimizer=args.optimizer,
         learning_rate=args.learning_rate,
-        lr_drop_step=args.lr_drop_step or default_drop[args.model],
+        lr_drop_step=(args.lr_drop_step if args.lr_drop_step is not None
+                      else default_drop[args.model]),
         train_batch_size=args.train_batch_size,
         test_batch_size=args.test_batch_size,
-        max_epochs=args.max_epochs or default_epochs[args.model],
+        max_epochs=(args.max_epochs if args.max_epochs is not None
+                    else default_epochs[args.model]),
         eval_freq=args.eval_freq,
         steps_per_call=args.steps_per_call,
         seed=args.seed,

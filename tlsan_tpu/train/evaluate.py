@@ -15,7 +15,6 @@ tf.metrics.precision_at_k / recall_at_k with one label id
 from __future__ import annotations
 
 from contextlib import nullcontext
-from functools import partial
 from typing import Dict, Tuple
 
 import jax

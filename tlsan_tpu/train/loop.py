@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding
 
 from tlsan_tpu.core.config import ModelConfig, TrainConfig
 from tlsan_tpu.data.batcher import Batches, epoch_permutation
@@ -50,12 +50,18 @@ class Trainer:
         self.model = model
         self.tc = tc
         self.opt = make_optimizer(tc)
-        self.use_pallas = use_pallas
 
         # optional (dp, mp) mesh: dp shards the batch, mp row-shards the
         # vocab tables with explicit collectives (docs/design.md)
         self.mesh = None
         counts_true = (cfg.user_count, cfg.item_count, cfg.cate_count)
+        if tc.dp * tc.mp > 1 and use_pallas:
+            # pallas_call has no GSPMD partitioning rule — sharded operands
+            # would replicate (or fail to lower); the XLA path shards fine
+            print("mesh run: forcing the XLA attention path (pallas kernels "
+                  "are single-device)", flush=True)
+            use_pallas = False
+        self.use_pallas = use_pallas
         if tc.dp * tc.mp > 1:
             from tlsan_tpu.parallel.api import pad_cate_list, pad_config_for_mp
             from tlsan_tpu.parallel.mesh import make_mesh
@@ -112,11 +118,10 @@ class Trainer:
             """Shard each gathered batch over dp (dataset stays replicated)."""
             if mesh is None:
                 return batch
-            return {
-                k: jax.lax.with_sharding_constraint(
-                    v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1)))))
-                for k, v in batch.items()
-            }
+            from tlsan_tpu.parallel.mesh import batch_spec
+            sh = NamedSharding(mesh, batch_spec())  # trailing dims unsharded
+            return {k: jax.lax.with_sharding_constraint(v, sh)
+                    for k, v in batch.items()}
 
         def loss_fn(params, batch):
             return model.loss(params, batch, cate_list, cfg, use_pallas)
@@ -180,11 +185,17 @@ class Trainer:
         TLSAN/train.py:162,235-237)."""
         out_dir = out_dir or f"{self.tc.model_dir}/profile"
         idx = self._epoch_index(0)[:n_chunks]
+        # run on CLONES: _train_chunk donates its inputs and the optimizer
+        # schedule counts steps, so profiling must not perturb the real run
+        params = jax.tree_util.tree_map(jnp.copy, self.params)
+        opt_state = jax.tree_util.tree_map(jnp.copy, self.opt_state)
+        rng_before = self._dropout_rng
         with jax.profiler.trace(out_dir):
             for chunk in idx:
-                self.params, self.opt_state, _ = self._train_chunk(
-                    self.params, self.opt_state, jnp.asarray(chunk))
-            jax.block_until_ready(self.params)
+                params, opt_state, _ = self._train_chunk(
+                    params, opt_state, jnp.asarray(chunk))
+            jax.block_until_ready(params)
+        self._dropout_rng = rng_before
         return out_dir
 
     def train(self) -> Dict[str, float]:
@@ -196,6 +207,7 @@ class Trainer:
         examples_seen = 0
         t_start = time.time()
         steps_since_eval = 0
+        steps_since_display = 0
         for epoch in range(tc.max_epochs):
             t_epoch = time.time()
             examples_at_epoch_start = examples_seen
@@ -204,8 +216,13 @@ class Trainer:
                     self.params, self.opt_state, jnp.asarray(chunk_idx))
                 self.step += chunk_idx.shape[0]
                 steps_since_eval += chunk_idx.shape[0]
+                steps_since_display += chunk_idx.shape[0]
                 examples_seen += chunk_idx.size
-                self.writer.write("train", self.step, {"loss": float(loss)})
+                # loss granularity is one fused chunk (its mean); display at
+                # display_freq boundaries like the reference's loss prints
+                if steps_since_display >= tc.display_freq:
+                    steps_since_display = 0
+                    self.writer.write("train", self.step, {"loss": float(loss)})
 
                 if steps_since_eval >= tc.eval_freq:
                     steps_since_eval = 0
@@ -216,7 +233,8 @@ class Trainer:
                         best = {**metrics, "step": self.step}
                         if metrics["auc"] > tc.save_auc_gate:
                             ckpt.save(tc.model_dir, self.model.name, self.step,
-                                      self.params, self.opt_state, self.cfg, tc)
+                                      self.params, self.opt_state, self.cfg, tc,
+                                      best=True)
             dt = time.time() - t_epoch
             epoch_examples = examples_seen - examples_at_epoch_start
             self.writer.write("epoch", self.step, {
