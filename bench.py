@@ -51,8 +51,9 @@ def main():
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--steps_per_call", type=int, default=200)
     p.add_argument("--baseline_steps", type=int, default=200)
-    p.add_argument("--no_pallas", action="store_true",
-                   help="A/B: run the fused path with the jnp/XLA attention")
+    p.add_argument("--pallas", action="store_true",
+                   help="A/B: run the fused path with the Pallas kernels "
+                        "(measured slower than XLA at these shapes)")
     args = p.parse_args()
 
     import jax
@@ -77,7 +78,7 @@ def main():
                      train_batch_size=args.batch)
     log(f"dataset={args.dataset} n={n} {counts} backend={jax.default_backend()}")
 
-    use_pallas = jax.default_backend() == "tpu" and not args.no_pallas
+    use_pallas = jax.default_backend() == "tpu" and args.pallas
     rng = np.random.default_rng(0)
 
     # ---------------- fused TPU path: device-resident data + scan ----------

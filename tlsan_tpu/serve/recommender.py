@@ -58,7 +58,7 @@ class Recommender:
                  exclude_history: bool = False, batch_size: int = 128,
                  mesh=None, vocab_sharded: bool = False):
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False  # XLA path is the measured default (RESULTS.md)
         self.model, self.cfg, self.k = model, cfg, k
         self.batch_size = batch_size
         self.params = jax.device_put(params)

@@ -174,7 +174,14 @@ def main(argv=None):
                    help="LSPM short-term weight (reference alpha=1.0)")
     p.add_argument("--regulation_rate", type=float, default=None,
                    help="L2 rate override (reference: 1e-2 LSPM, 5e-5 others)")
-    p.add_argument("--no_pallas", action="store_true")
+    # measured on-chip (RESULTS.md): XLA's fused attention beats the
+    # hand-written Pallas kernels at every production shape, so XLA is the
+    # default; --pallas opts the kernels back in (kept as a testbed and for
+    # shapes where a future chip/toolchain flips the verdict)
+    p.add_argument("--pallas", dest="use_pallas", action="store_true",
+                   default=False)
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false",
+                   help="(default) use the XLA attention path")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few train chunks "
                         "before training")
@@ -239,7 +246,7 @@ def main(argv=None):
 
     model = get_model(args.model)
     trainer = Trainer(model, cfg, tc, cate_list, train_b, test_b,
-                      use_pallas=not args.no_pallas)
+                      use_pallas=args.use_pallas)
     if args.profile:
         out = trainer.profile_trace()
         print(f"profiler trace written to {out}", flush=True)
