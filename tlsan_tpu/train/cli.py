@@ -159,7 +159,10 @@ def main(argv=None):
     p.add_argument("--eval_freq", type=int, default=1000)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--best_after_step", type=int, default=20_000)
-    p.add_argument("--save_auc_gate", type=float, default=0.8)
+    p.add_argument("--save_auc_gate", type=float, default=None,
+                   help="checkpoint only when AUC exceeds this (per-model "
+                        "reference gates: 0.8 TLSAN/ATRank/PACA, 0.7 "
+                        "SHAN/CSAN/CNN/LSPM, none Bi-LSTM/BPR)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh axis (batch sharding)")
     p.add_argument("--mp", type=int, default=1,
@@ -232,7 +235,14 @@ def main(argv=None):
         steps_per_call=args.steps_per_call,
         seed=args.seed,
         best_after_step=args.best_after_step,
-        save_auc_gate=args.save_auc_gate,
+        # reference gate per trainer: TLSAN/train.py:228, ATRank:215,
+        # PACA:208 → 0.8; SHAN/CSAN/CNN:208/214 & LSPM:206 → 0.7;
+        # Bi-LSTM:70 & BPR:81 save on every new best → 0.0
+        save_auc_gate=(args.save_auc_gate if args.save_auc_gate is not None
+                       else {"tlsan": 0.8, "atrank": 0.8, "paca": 0.8,
+                             "shan": 0.7, "csan": 0.7, "cnn": 0.7,
+                             "lspm": 0.7, "bilstm": 0.0,
+                             "bpr": 0.0}[args.model]),
         dp=args.dp,
         mp=args.mp,
     )
