@@ -149,6 +149,12 @@ void* tlsan_build(const int32_t* uids, const int32_t* asins,
         int64_t pos_off = 0;  // offset of the positive within the session
         if (count > 1) pos_off = rng.choice_index(count);
         const int32_t pos_item = asins[start + i + pos_off];
+        // Python removes the FIRST value-equal occurrence from the session
+        // (list.remove, builders.py), not the randomly chosen index — they
+        // differ when a session repeats an item
+        int64_t rem_off = 0;
+        while (asins[start + i + rem_off] != pos_item) ++rem_off;
+        pos_off = rem_off;
         // neg index = FIRST occurrence of pos_item in pos_list
         int64_t neg_index = 0;
         while (asins[start + neg_index] != pos_item) ++neg_index;
@@ -200,9 +206,12 @@ static void pack_common(const Handle* h, const Example& e, int64_t Ls,
     hist_i[r * Ls + k] = 0;
     hist_t[r * Ls + k] = 0.0f;
   }
-  // short session, left-aligned, test target removed in place
+  // short session, left-aligned, test target removed in place; bound by Ts
+  // (a caller-pinned Ts < session length truncates like the Python packer's
+  // window="first"; sl_new stays the unclamped count, also like Python)
   int64_t out = 0;
-  for (int64_t k = 0; k < e.new_count + (e.removed >= 0 ? 1 : 0); ++k) {
+  for (int64_t k = 0; k < e.new_count + (e.removed >= 0 ? 1 : 0)
+                      && out < Ts; ++k) {
     if (k == e.removed) continue;
     hist_i_new[r * Ts + out++] = h->asins[s + e.new_start + k];
   }

@@ -76,6 +76,7 @@ class PyRandom {
 
   template <typename T>
   void shuffle(std::vector<T>& x) {
+    if (x.size() < 2) return;  // random.shuffle([]) is a no-op
     for (size_t i = x.size() - 1; i >= 1; --i) {
       size_t j = static_cast<size_t>(randbelow(i + 1));
       std::swap(x[i], x[j]);

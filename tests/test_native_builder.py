@@ -132,3 +132,38 @@ def test_native_session_shapes_match_cli_python_path(clothing):
     Ls_p = r8(max(max(len(t[1]) for t in train), max(len(t[1]) for t in test)))
     Ts_p = r8(max(max(len(t[2]) for t in train), max(len(t[2]) for t in test)))
     assert (Ls_n, Ts_n) == (Ls_p, Ts_p)
+
+
+@pytest.mark.skipif(not native.available(), reason="g++ not available")
+def test_native_duplicate_item_in_final_session():
+    """Python removes the FIRST value-equal occurrence of the test target
+    from the final session (list.remove); sessions that repeat an item must
+    still pack bit-identically.  Also exercises the empty-train edge (users
+    with only 2 sessions contribute 0-2 train rows)."""
+    import pandas as pd
+
+    rows = []
+    # user 0: two sessions; final session [3, 4, 3] repeats item 3
+    for item, day in [(1, 1), (2, 1), (3, 5), (4, 5), (3, 5)]:
+        rows.append((0, item, day))
+    # user 1: minimal two-session user
+    for item, day in [(2, 2), (4, 2), (1, 9)]:
+        rows.append((1, item, day))
+    reviews_df = pd.DataFrame(
+        rows, columns=["reviewerID", "asin", "unixReviewTime"])
+    cate_list = np.array([0, 1, 0, 1, 0], np.int32)
+
+    for seed in (1234, 7, 99, 123):
+        tr_n, te_n, Ts = native.build_tlsan_packed(
+            reviews_df, cate_list, 5, Ls=10, seed=seed)
+        train, test = build_session_examples(reviews_df, cate_list, 5,
+                                             "tlsan", seed=seed)
+        tr_p = pack_session_train(train, 10, Ts, "tlsan")
+        te_p = pack_session_test(test, 10, Ts, "tlsan")
+        assert tr_n.n == tr_p.n and te_n.n == te_p.n
+        for k in te_p.arrays:
+            np.testing.assert_array_equal(te_p[k], te_n[k],
+                                          err_msg=f"seed {seed} test {k}")
+        for k in tr_p.arrays:
+            np.testing.assert_array_equal(tr_p[k], tr_n[k],
+                                          err_msg=f"seed {seed} train {k}")

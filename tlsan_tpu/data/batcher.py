@@ -56,6 +56,13 @@ def _scatter_pad(
     return out
 
 
+def round8(n: int) -> int:
+    """Pad a ragged max dim to a lane-friendly multiple of 8 — the ONE
+    shape rule shared by the Python packers, the native builders, and the
+    CLI, so config sidecars agree regardless of build path."""
+    return max(8, ((n + 7) // 8) * 8)
+
+
 @dataclass
 class Batches:
     """A packed dataset: dict of dense arrays, all with leading dim n."""

@@ -16,7 +16,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from tlsan_tpu.data.batcher import Batches
+from tlsan_tpu.data.batcher import Batches, round8
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC_DIR = os.path.join(_REPO, "native")
@@ -131,7 +131,7 @@ def build_tlsan_packed(reviews_df, cate_list: np.ndarray, item_count: int,
         lib.tlsan_counts(h, ctypes.byref(tn), ctypes.byref(sn), ctypes.byref(ts))
         train_n, test_n = tn.value, sn.value
         if Ts is None:
-            Ts = _round8(ts.value)
+            Ts = round8(ts.value)
 
         def alloc(n):
             return dict(
@@ -170,12 +170,6 @@ def build_tlsan_packed(reviews_df, cate_list: np.ndarray, item_count: int,
 _TIME_MODES = {"none": 0, "bucket": 1, "raw": 2}
 
 
-def _round8(n: int) -> int:
-    """Pad a ragged max to a lane-friendly multiple of 8 (same rule as
-    train/cli.py so native and Python builds agree on shapes)."""
-    return max(8, ((n + 7) // 8) * 8)
-
-
 def build_prefix_packed(reviews_df, item_count: int, time_mode: str = "none",
                         max_length: int = 90, pack_pos_neg: bool = False,
                         align: str = "left", T: Optional[int] = None,
@@ -199,7 +193,7 @@ def build_prefix_packed(reviews_df, item_count: int, time_mode: str = "none",
         lib.prefix_counts(h, ctypes.byref(tn), ctypes.byref(sn), ctypes.byref(mh))
         train_n, test_n = tn.value, sn.value
         if T is None:
-            T = _round8(mh.value)
+            T = round8(mh.value)
         ar = 1 if align == "right" else 0
         with_time = tm != 0
         null_f32 = ctypes.cast(None, _f32p)
@@ -273,13 +267,13 @@ def build_session_basic_packed(reviews_df, cate_list: np.ndarray,
         train_n, test_n = tn.value, sn.value
         if Ts is None:
             # PACA carries no short session — the Python path pins Ts to
-            # _round8(1) = 8 (train/cli.py sess_max=1); match it so cfg.Ts
+            # round8(1) = 8 (train/cli.py sess_max=1); match it so cfg.Ts
             # is identical between native and Python builds
-            Ts = 8 if variant == "paca" else _round8(ts.value)
+            Ts = 8 if variant == "paca" else round8(ts.value)
         if Ls is None:
             mp = ctypes.c_int64()
             lib.tlsan_max_pre(h, ctypes.byref(mp))
-            Ls = _round8(mp.value)
+            Ls = round8(mp.value)
             if Ls_cap is not None:
                 Ls = min(Ls, Ls_cap)
         has_uid = variant == "shan"

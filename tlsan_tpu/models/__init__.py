@@ -11,48 +11,23 @@
 from tlsan_tpu.models.tlsan import TLSAN
 
 
-def get_model(name: str):
-    from tlsan_tpu.models import tlsan
+_MODEL_MODULES = {
+    "tlsan": ("tlsan", "TLSAN"), "shan": ("shan", "SHAN"),
+    "atrank": ("atrank", "ATRank"), "bpr": ("bpr", "BPR"),
+    "lspm": ("lspm", "LSPM"), "paca": ("paca", "PACA"),
+    "cnn": ("cnn", "CNN"), "bilstm": ("bilstm", "BiLSTM"),
+    "csan": ("csan", "CSAN"),
+}
 
-    registry = {"tlsan": tlsan.TLSAN}
-    try:
-        from tlsan_tpu.models import shan
-        registry["shan"] = shan.SHAN
-    except ImportError:
-        pass
-    try:
-        from tlsan_tpu.models import atrank
-        registry["atrank"] = atrank.ATRank
-    except ImportError:
-        pass
-    try:
-        from tlsan_tpu.models import bpr
-        registry["bpr"] = bpr.BPR
-    except ImportError:
-        pass
-    try:
-        from tlsan_tpu.models import lspm
-        registry["lspm"] = lspm.LSPM
-    except ImportError:
-        pass
-    try:
-        from tlsan_tpu.models import paca
-        registry["paca"] = paca.PACA
-    except ImportError:
-        pass
-    try:
-        from tlsan_tpu.models import cnn
-        registry["cnn"] = cnn.CNN
-    except ImportError:
-        pass
-    try:
-        from tlsan_tpu.models import bilstm
-        registry["bilstm"] = bilstm.BiLSTM
-    except ImportError:
-        pass
-    try:
-        from tlsan_tpu.models import csan
-        registry["csan"] = csan.CSAN
-    except ImportError:
-        pass
-    return registry[name]
+
+def get_model(name: str):
+    """Resolve a model class by family name; import errors surface as-is
+    (a broken model module must not masquerade as an unknown name)."""
+    import importlib
+
+    if name not in _MODEL_MODULES:
+        raise KeyError(
+            f"unknown model {name!r}; one of {sorted(_MODEL_MODULES)}")
+    mod_name, cls_name = _MODEL_MODULES[name]
+    mod = importlib.import_module(f"tlsan_tpu.models.{mod_name}")
+    return getattr(mod, cls_name)

@@ -92,9 +92,10 @@ class ATRank:
              lookup(params["cate_emb"], cate_list[ids])], axis=-1)
 
     @staticmethod
-    def _user_repr_for(params, query_items, batch, cate_list, cfg,
-                       use_pallas=False):
-        """User tower conditioned on the given query items [B]."""
+    def _encode_history(params, batch, cate_list, cfg, use_pallas=False):
+        """Query-independent self-attention encoding of the history; the
+        readout below conditions on a candidate item.  Split so pairwise
+        eval encodes ONCE for both the pos and neg queries."""
         h = ATRank._embed_items(params, batch["hist_i"], cate_list)
         if cfg.concat_time_emb:
             t_onehot = jax.nn.one_hot(batch["hist_t"], N_TIME_BUCKETS,
@@ -138,12 +139,20 @@ class ATRank:
                                              cfg.num_heads, blk["attn"],
                                              cfg.dropout, next_rng())
             enc = feedforward(enc, blk["ffn"])
+        return enc, fused, next_rng
 
+    @staticmethod
+    def _readout(params, enc, query_items, batch, cate_list, cfg,
+                 fused, next_rng):
+        """1-query vanilla attention of the candidate item over the encoded
+        history (ATRank/model.py:310-328)."""
+        sl = batch["sl"]
         i_emb = ATRank._embed_items(params, query_items, cate_list)
         dec = i_emb[:, None, :]
         ones = jnp.ones_like(sl)
         for blk in params["vanilla_blocks"]:
             if fused:
+                from tlsan_tpu.ops.pallas.mha import mha_pallas
                 dec = mha_pallas(dec, enc, ones, sl, cfg.num_heads,
                                  blk["attn"])
             else:
@@ -152,6 +161,14 @@ class ATRank:
                                              cfg.dropout, next_rng())
             dec = feedforward(dec, blk["ffn"])
         return dec[:, 0, :]
+
+    @staticmethod
+    def _user_repr_for(params, query_items, batch, cate_list, cfg,
+                       use_pallas=False):
+        enc, fused, next_rng = ATRank._encode_history(
+            params, batch, cate_list, cfg, use_pallas)
+        return ATRank._readout(params, enc, query_items, batch, cate_list,
+                               cfg, fused, next_rng)
 
     @staticmethod
     def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
@@ -186,13 +203,16 @@ class ATRank:
 
     @staticmethod
     def pair_logits(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
-        # the user tower is query-conditioned, so pos and neg each get their
-        # own forward (matching the reference's two sess.runs,
-        # ATRank/model.py:253-282)
-        u_pos = ATRank._user_repr_for(params, batch["i"], batch, cate_list,
-                                      cfg, use_pallas)
-        u_neg = ATRank._user_repr_for(params, batch["j"], batch, cate_list,
-                                      cfg, use_pallas)
+        # the readout is query-conditioned, so pos and neg each get their own
+        # vanilla-attention readout — but the self-attention encoder is
+        # query-independent and runs ONCE (the reference recomputes it in two
+        # separate sess.runs, ATRank/model.py:253-282)
+        enc, fused, next_rng = ATRank._encode_history(
+            params, batch, cate_list, cfg, use_pallas)
+        u_pos = ATRank._readout(params, enc, batch["i"], batch, cate_list,
+                                cfg, fused, next_rng)
+        u_neg = ATRank._readout(params, enc, batch["j"], batch, cate_list,
+                                cfg, fused, next_rng)
         pe, pb = ATRank.item_repr(params, batch["i"], cate_list, cfg)
         ne, nb = ATRank.item_repr(params, batch["j"], cate_list, cfg)
         return (base.pointwise_logits(u_pos, pe, pb),

@@ -123,7 +123,7 @@ class CSAN:
         }
         for _ in range(cfg.num_blocks):
             kf, kb, kw, kp = (keys[next(ki)], keys[next(ki)],
-                              keys[next(ki)], jax.random.fold_in(rng, 7))
+                              keys[next(ki)], keys[next(ki)])
             k1, k2 = jax.random.split(kw)
             params["blocks"].append({
                 "fw": _dir_params(kf, E),
@@ -140,7 +140,8 @@ class CSAN:
         return params
 
     @staticmethod
-    def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+    def _encode_history(params, batch):
+        """Query-independent DiSAN encoder (run once per batch)."""
         enc = lookup(params["item_emb"], batch["hist_i"])
         sl, rep_time = batch["sl"], batch["hist_t"]
         for blk in params["blocks"]:
@@ -149,16 +150,19 @@ class CSAN:
             enc = _feature_wise_self_attention(
                 jnp.concatenate([fw, bw], axis=-1), sl, blk["fwsa"])
             enc = dense(enc, blk["proj_w"], blk["proj_b"])
-        i_emb = lookup(params["item_emb"], batch["i"])
-        dec = i_emb
+        return enc
+
+    @staticmethod
+    def _readout(params, enc, query, sl):
+        dec = lookup(params["item_emb"], query)
         for _ in params["blocks"]:
             dec = _vanilla_attention(dec, enc, sl)
         return dec
 
     @staticmethod
-    def _user_repr_for(params, query, batch, cate_list, cfg):
-        b2 = dict(batch, i=query)
-        return CSAN.user_repr(params, b2, cate_list, cfg)
+    def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
+        enc = CSAN._encode_history(params, batch)
+        return CSAN._readout(params, enc, batch["i"], batch["sl"])
 
     @staticmethod
     def item_repr(params, ids, cate_list, cfg: ModelConfig):
@@ -179,9 +183,12 @@ class CSAN:
 
     @staticmethod
     def pair_logits(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
-        # target-conditioned readout → separate towers for pos and neg
-        u_pos = CSAN._user_repr_for(params, batch["i"], batch, cate_list, cfg)
-        u_neg = CSAN._user_repr_for(params, batch["j"], batch, cate_list, cfg)
+        # target-conditioned readout for pos and neg, but the DiSAN encoder
+        # is query-independent and runs ONCE (the reference recomputes it in
+        # two sess.runs)
+        enc = CSAN._encode_history(params, batch)
+        u_pos = CSAN._readout(params, enc, batch["i"], batch["sl"])
+        u_neg = CSAN._readout(params, enc, batch["j"], batch["sl"])
         pe, pb = CSAN.item_repr(params, batch["i"], cate_list, cfg)
         ne, nb = CSAN.item_repr(params, batch["j"], cate_list, cfg)
         return (base.pointwise_logits(u_pos, pe, pb),

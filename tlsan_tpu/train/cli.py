@@ -26,13 +26,12 @@ from tlsan_tpu.data import (
     pack_session_test,
     pack_session_train,
 )
-from tlsan_tpu.data.batcher import Batches
+from tlsan_tpu.data.batcher import Batches, round8
 from tlsan_tpu.models import get_model
 from tlsan_tpu.train.loop import Trainer
 
 
-def _round8(n: int) -> int:
-    return max(8, ((n + 7) // 8) * 8)
+
 
 
 def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
@@ -77,9 +76,9 @@ def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
             max((len(t[2]) for t in train_set), default=1),
             max((len(t[2]) for t in test_set), default=1),
         ) if model_name != "paca" else 1
-        Ts = _round8(sess_max)
+        Ts = round8(sess_max)
         if model_name != "tlsan":
-            Ls = _round8(Ls)
+            Ls = round8(Ls)
         if model_name == "paca":
             # position_w covers max_len positions (PACA/model.py:44-46)
             Ls = min(Ls, cfg.paca_max_len)
@@ -111,7 +110,7 @@ def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
             T = cfg.lspm_k  # fixed right-aligned window (LSPM/input.py:30-37)
             align = "right"
         else:
-            T = _round8(max(
+            T = round8(max(
                 max((len(t[1]) for t in train_set), default=1),
                 max((len(t[1]) for t in test_set), default=1)))
             align = "left"
