@@ -70,8 +70,20 @@ class Recommender:
         self._mesh, self._vs = mesh, vocab_sharded
         if mesh is not None:
             self._fn = jax.jit(self._recommend_meshed)
+            self._scan_fn = None  # shard_map inside scan: keep per-chunk
         else:
             self._fn = jax.jit(self._recommend)
+
+            @jax.jit
+            def scan_all(params, chunks):
+                # all request chunks in ONE dispatch (bulk scoring) — per-
+                # chunk dispatch costs a host→device round trip each
+                def body(_, chunk):
+                    return None, self._recommend(params, chunk)
+                _, (idx, vals) = jax.lax.scan(body, None, chunks)
+                return idx, vals
+
+            self._scan_fn = scan_all
 
     # ------------------------------------------------------------- compute
 
@@ -166,16 +178,21 @@ class Recommender:
                 pad = ((0, B - n % B),) + ((0, 0),) * (v.ndim - 1)
                 v = np.pad(v, pad)
             dev[key] = jnp.asarray(v.reshape((-1, B) + v.shape[1:]))
+        n_chunks = dev[next(iter(dev))].shape[0]
+        if self._scan_fn is not None:
+            idx, vals = self._scan_fn(self.params, dev)  # [C, B, k] each
+            idx, vals = np.asarray(idx), np.asarray(vals)
+            return (idx.reshape(-1, idx.shape[-1])[:n],
+                    vals.reshape(-1, vals.shape[-1])[:n])
         ids_out, vals_out = [], []
-        for c in range(dev[next(iter(dev))].shape[0]):
+        for c in range(n_chunks):
             chunk = {key: v[c] for key, v in dev.items()}
             idx, vals = self._fn(self.params, chunk)
             idx, vals = np.asarray(idx), np.asarray(vals)
-            if self._mesh is not None:
-                if self._exclude:
-                    idx, vals = self._exclude_host(chunk, idx, vals)
-                else:
-                    idx, vals = idx[:, :self.k], vals[:, :self.k]
+            if self._exclude:
+                idx, vals = self._exclude_host(chunk, idx, vals)
+            else:
+                idx, vals = idx[:, :self.k], vals[:, :self.k]
             ids_out.append(idx)
             vals_out.append(vals)
         return (np.concatenate(ids_out)[:n], np.concatenate(vals_out)[:n])
