@@ -89,3 +89,39 @@ def test_pair_logits_consistency(setup):
     np.testing.assert_allclose(
         np.asarray(pos), np.asarray(full)[np.arange(6), np.asarray(batch["i"])],
         rtol=1e-4, atol=1e-4)
+
+
+def test_attention_maps_shapes_and_softmax():
+    """att0/att1 parity surface (reference fetches TLSAN/model.py:122,366):
+    softmax over the time axis per feature, masked beyond sl."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tlsan_tpu.core.config import ModelConfig
+    from tlsan_tpu.models.tlsan import TLSAN
+
+    cfg = ModelConfig(model="tlsan", user_count=16, item_count=32,
+                      cate_count=4, Ls=10, Ts=8)
+    params = TLSAN.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B = 4
+    batch = {
+        "u": jnp.asarray(rng.integers(0, 16, B), jnp.int32),
+        "c": jnp.asarray(rng.integers(0, 4, B), jnp.int32),
+        "hist_i": jnp.asarray(rng.integers(0, 32, (B, 10)), jnp.int32),
+        "hist_t": jnp.asarray(rng.uniform(0.1, 1, (B, 10)), jnp.float32),
+        "hist_i_new": jnp.asarray(rng.integers(0, 32, (B, 8)), jnp.int32),
+        "sl": jnp.asarray([3, 10, 1, 7], jnp.int32),
+        "sl_new": jnp.asarray([2, 8, 1, 4], jnp.int32),
+    }
+    cate_list = jnp.asarray(rng.integers(0, 4, 32), jnp.int32)
+    att0, att1 = TLSAN.attention_maps(params, batch, cate_list, cfg)
+    H, dh = cfg.num_heads, 64 // cfg.num_heads
+    assert att0.shape == (B, 10, H, dh)
+    assert att1.shape == (B, 8 + 1, H, dh)
+    # softmax over time: columns sum to 1
+    np.testing.assert_allclose(np.asarray(att0.sum(axis=1)), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(att1.sum(axis=1)), 1.0, rtol=1e-5)
+    # masked long-window rows beyond sl get (near-)zero weight
+    assert float(att0[0, 3:, :, :].max()) < 1e-6

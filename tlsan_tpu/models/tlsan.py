@@ -134,6 +134,35 @@ class TLSAN:
         return out + u_emb  # (TLSAN/model.py:135)
 
     @staticmethod
+    def attention_maps(params, batch, cate_list, cfg: ModelConfig):
+        """(att0, att1): the long- and short-term attention maps for analysis
+        and visualization — the reference exposes these as fetchable tensors
+        (TLSAN/model.py:122,366; attention_net returns att0/att1).  Shapes:
+        att0 [B, Ls, H, dh] over the long window, att1 [B, Ts+1, H, dh] over
+        [pseudo-item ∥ short session] (softmax over the time axis)."""
+        u, hist_i, hist_t = batch["u"], batch["hist_i"], batch["hist_t"]
+        sl, sl_new = batch["sl"], batch["sl_new"]
+        ut = lookup(params["usert_emb"], u) * hist_t
+        h = TLSAN._embed_items(params, hist_i, cate_list)
+        h = h * (params["gamma"] * ut)[..., None]
+        h_new = TLSAN._embed_items(params, batch["hist_i_new"], cate_list)
+
+        att0 = att1 = None
+        enc = h
+        for blk in params["long"]:
+            enc, att0 = feature_wise_attention_reference(
+                enc, sl, cfg.num_heads,
+                blk["w1"], blk["b1"], blk["w2"], blk["b2"], return_soft=True)
+            enc = jnp.dot(enc, blk["proj_w"], precision="highest") + blk["proj_b"]
+            enc = enc[:, None, :]
+        enc = jnp.concatenate([enc, h_new], axis=1)
+        for blk in params["short"]:
+            _, att1 = feature_wise_attention_reference(
+                enc, sl_new + 1, cfg.num_heads,
+                blk["w1"], blk["b1"], blk["w2"], blk["b2"], return_soft=True)
+        return att0, att1
+
+    @staticmethod
     def item_repr(params, ids, cate_list, cfg: ModelConfig):
         return TLSAN._embed_items(params, ids, cate_list), lookup(params["item_b"], ids)
 
