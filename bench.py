@@ -54,6 +54,8 @@ def main():
     p.add_argument("--pallas", action="store_true",
                    help="A/B: run the fused path with the Pallas kernels "
                         "(measured slower than XLA at these shapes)")
+    p.add_argument("--unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the train chunk")
     args = p.parse_args()
 
     import jax
@@ -103,7 +105,8 @@ def main():
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), idx)
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), idx, unroll=args.unroll)
         return params, opt_state, losses[-1]
 
     K, B = args.steps_per_call, args.batch
