@@ -170,6 +170,9 @@ def main(argv=None):
     p.add_argument("--Ls", type=int, default=10,
                    help="TLSAN long-term window (reference flag, "
                         "TLSAN/train.py:29)")
+    p.add_argument("--num_blocks", type=int, default=1,
+                   help="attention blocks per tower (reference flag, "
+                        "TLSAN/train.py:27)")
     p.add_argument("--lspm_k", type=int, default=5,
                    help="LSPM short-term window (reference k=5)")
     p.add_argument("--lspm_alpha", type=float, default=1.0,
@@ -215,8 +218,8 @@ def main(argv=None):
 
     cfg = ModelConfig(model=args.model, hidden_units=hidden,
                       dropout=args.dropout, regulation_rate=reg,
-                      Ls=args.Ls, lspm_k=args.lspm_k,
-                      lspm_alpha=args.lspm_alpha)
+                      Ls=args.Ls, num_blocks=args.num_blocks,
+                      lspm_k=args.lspm_k, lspm_alpha=args.lspm_alpha)
     tc = TrainConfig(
         dataset=args.dataset,
         data_dir=args.data_dir,
