@@ -156,6 +156,9 @@ def main(argv=None):
     p.add_argument("--lr_drop_step", type=int, default=None)
     p.add_argument("--steps_per_call", type=int, default=100)
     p.add_argument("--eval_freq", type=int, default=1000)
+    p.add_argument("--display_freq", type=int, default=100,
+                   help="steps between train-loss log lines (granularity is "
+                        "one fused chunk = steps_per_call)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--best_after_step", type=int, default=20_000)
     p.add_argument("--save_auc_gate", type=float, default=None,
@@ -234,6 +237,7 @@ def main(argv=None):
         max_epochs=(args.max_epochs if args.max_epochs is not None
                     else default_epochs[args.model]),
         eval_freq=args.eval_freq,
+        display_freq=args.display_freq,
         steps_per_call=args.steps_per_call,
         seed=args.seed,
         best_after_step=args.best_after_step,
