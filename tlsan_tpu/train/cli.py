@@ -176,6 +176,15 @@ def main(argv=None):
     p.add_argument("--num_blocks", type=int, default=1,
                    help="attention blocks per tower (reference flag, "
                         "TLSAN/train.py:27)")
+    p.add_argument("--num_heads", type=int, default=8)
+    p.add_argument("--hidden_units", type=int, default=None,
+                   help="default: 64 (CSAN: 32), the reference per-model "
+                        "values; must equal item+cate emb width for the "
+                        "concat models")
+    p.add_argument("--itemid_embedding_size", type=int, default=32)
+    p.add_argument("--userid_embedding_size", type=int, default=32)
+    p.add_argument("--cateid_embedding_size", type=int, default=32)
+    p.add_argument("--max_gradient_norm", type=float, default=5.0)
     p.add_argument("--lspm_k", type=int, default=5,
                    help="LSPM short-term window (reference k=5)")
     p.add_argument("--lspm_alpha", type=float, default=1.0,
@@ -213,7 +222,8 @@ def main(argv=None):
     default_drop = {"tlsan": 150_000, "atrank": 270_000, "csan": 270_000,
                     "cnn": 540_000, "lspm": 150_000, "paca": 150_000,
                     "shan": 150_000, "bilstm": 270_000, "bpr": 10**9}
-    hidden = {"csan": 32}.get(args.model, 64)
+    hidden = (args.hidden_units if args.hidden_units is not None
+              else {"csan": 32}.get(args.model, 64))
     # LSPM regularizes at 1e-2, all others at 5e-5 (LSPM/train.py:31)
     reg = args.regulation_rate
     if reg is None:
@@ -222,6 +232,10 @@ def main(argv=None):
     cfg = ModelConfig(model=args.model, hidden_units=hidden,
                       dropout=args.dropout, regulation_rate=reg,
                       Ls=args.Ls, num_blocks=args.num_blocks,
+                      num_heads=args.num_heads,
+                      itemid_embedding_size=args.itemid_embedding_size,
+                      userid_embedding_size=args.userid_embedding_size,
+                      cateid_embedding_size=args.cateid_embedding_size,
                       lspm_k=args.lspm_k, lspm_alpha=args.lspm_alpha)
     tc = TrainConfig(
         dataset=args.dataset,
@@ -240,6 +254,7 @@ def main(argv=None):
         display_freq=args.display_freq,
         steps_per_call=args.steps_per_call,
         seed=args.seed,
+        max_gradient_norm=args.max_gradient_norm,
         best_after_step=args.best_after_step,
         # reference gate per trainer: TLSAN/train.py:228, ATRank:215,
         # PACA:208 → 0.8; SHAN/CSAN/CNN:208/214 & LSPM:206 → 0.7;
