@@ -78,3 +78,17 @@ def test_data_cli_convert_and_remap(tmp_path):
         mdf = pickle.load(f)
     assert len(rdf) == 12 and len(mdf) == 4
     assert set(mdf["asin"]) == {"a0", "a1", "a2", "a3"}
+
+
+def test_serve_cli_out_file(trained_dir, reference_data_dir, tmp_path):
+    from tlsan_tpu.serve import cli as scli
+
+    out = tmp_path / "recs.jsonl"
+    scli.main([
+        "--model_dir", trained_dir, "--dataset", "Clothing_Shoes_and_Jewelry",
+        "--data_dir", reference_data_dir, "--k", "3", "--show", "0",
+        "--out", str(out),
+    ])
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2010  # one row per test user
+    assert all(len(r["items"]) == 3 for r in recs[:20])

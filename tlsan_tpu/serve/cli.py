@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--show", type=int, default=3)
     p.add_argument("--exclude_history", action="store_true")
+    p.add_argument("--out", default=None,
+                   help="write ALL users' recommendations as JSONL here "
+                        "(bulk/offline inference)")
     args = p.parse_args(argv)
 
     # model name: --model, else the latest checkpoint's JSON config sidecar
@@ -64,6 +67,16 @@ def main(argv=None):
     t0 = time.perf_counter()
     ids, scores = rec.recommend(batch)
     dt = time.perf_counter() - t0
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in range(n):
+                f.write(json.dumps({
+                    "user": int(batch["u"][r]) if "u" in batch else r,
+                    "items": ids[r].tolist(),
+                    "scores": [round(float(s), 4) for s in scores[r]],
+                }) + "\n")
+        print(f"wrote {n} users to {args.out}")
 
     for r in range(min(args.show, n)):
         print(json.dumps({
