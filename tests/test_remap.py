@@ -99,3 +99,15 @@ def test_convert_raw_lines():
     reviews_df, meta_df = convert_raw_lines(review_lines, meta_lines)
     assert len(reviews_df) == 2
     assert set(meta_df["asin"]) == {"A1", "A2"}
+
+
+def test_raw_urls_cover_reference_download_script():
+    """All 11 categories of utils/0_download_raw.sh resolve to SNAP URLs."""
+    from tlsan_tpu.data.remap import CATEGORIES, raw_urls
+
+    assert len(CATEGORIES) == 11
+    for c in CATEGORIES:
+        rev, meta = raw_urls(c)
+        assert rev.endswith(f"reviews_{c}_5.json.gz")
+        assert meta.endswith(f"meta_{c}.json.gz")
+        assert rev.startswith("http://snap.stanford.edu/")

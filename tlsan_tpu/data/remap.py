@@ -36,6 +36,9 @@ CATEGORIES = [
     "Home_and_Kitchen",
     "Video_Games",
     "Toys_and_Games",
+    # downloaded by the reference script but unused in its experiments
+    # (utils/0_download_raw.sh:44-46)
+    "Books",
 ]
 
 SNAP_URL = "http://snap.stanford.edu/data/amazon/productGraph/categoryFiles"
