@@ -1,0 +1,105 @@
+"""Electronics-scale synthetic stress test.
+
+The reference's three largest category pickles are stripped from this
+checkout, so the framework's behavior at the top of the reference's scale
+(Electronics: 39,991 users / 22,048 items / 673 categories / 561,100
+reviews) is exercised on a SYNTHETIC dataset with matching statistics:
+per-user review counts and session structure drawn to hit the published
+averages (14.0 behaviors/user, 4–90 distinct days).
+
+Measures: native build+pack time, train throughput (fused scan, one chip),
+full eval (AUC + P@k over the 22k catalog), peak shapes.
+
+Usage: python scripts/synth_scale.py [--users 39991 --items 22048 ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+
+def make_synthetic(users, items, cates, mean_reviews, seed=0):
+    rng = np.random.default_rng(seed)
+    # per-user review count: 10..90, mean ≈ mean_reviews (lognormal-ish)
+    counts = np.clip(rng.poisson(mean_reviews - 10, users) + 10, 10, 90)
+    rows_u, rows_i, rows_t = [], [], []
+    # zipfian item popularity (real catalogs are heavy-tailed)
+    pop = rng.zipf(1.3, size=items * 4) % items
+    for u in range(users):
+        n = counts[u]
+        its = pop[rng.integers(0, len(pop), n)].astype(np.int32)
+        # sessions: group the n reviews into 4..min(n,20) distinct days
+        n_days = rng.integers(4, min(n, 20) + 1)
+        days = np.sort(rng.choice(np.arange(1, 4000), n_days, replace=False))
+        assign = np.sort(rng.integers(0, n_days, n))
+        rows_u.append(np.full(n, u, np.int32))
+        rows_i.append(its)
+        rows_t.append(days[assign].astype(np.int64))
+    df = pd.DataFrame({
+        "reviewerID": np.concatenate(rows_u),
+        "asin": np.concatenate(rows_i),
+        "unixReviewTime": np.concatenate(rows_t),
+    }).sort_values(["reviewerID", "unixReviewTime"], kind="stable").reset_index(drop=True)
+    cate_list = rng.integers(0, cates, items).astype(np.int32)
+    return df, cate_list
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--users", type=int, default=39_991)
+    p.add_argument("--items", type=int, default=22_048)
+    p.add_argument("--cates", type=int, default=673)
+    p.add_argument("--mean_reviews", type=int, default=14)
+    p.add_argument("--epochs", type=int, default=1)
+    args = p.parse_args()
+
+    t0 = time.perf_counter()
+    df, cate_list = make_synthetic(args.users, args.items, args.cates,
+                                   args.mean_reviews)
+    print(f"synth: {len(df):,} reviews in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    from tlsan_tpu.data import native
+    t0 = time.perf_counter()
+    train_b, test_b, Ts = native.build_tlsan_packed(df, cate_list, args.items)
+    build_s = time.perf_counter() - t0
+    print(f"native build+pack: train={train_b.n:,} test={test_b.n:,} "
+          f"Ts={Ts} in {build_s:.2f}s", flush=True)
+
+    import dataclasses
+
+    import jax
+
+    from tlsan_tpu.core.config import ModelConfig, TrainConfig
+    from tlsan_tpu.data.batcher import Batches
+    from tlsan_tpu.models.tlsan import TLSAN
+    from tlsan_tpu.train.loop import Trainer
+
+    cfg = ModelConfig(model="tlsan", user_count=args.users,
+                      item_count=args.items, cate_count=args.cates, Ts=Ts)
+    tc = TrainConfig(model_dir="runs/synth_scale", max_epochs=args.epochs,
+                     eval_freq=10**9, best_after_step=0, save_auc_gate=2.0)
+    trainer = Trainer(TLSAN, cfg, tc, cate_list, train_b, test_b,
+                      use_pallas=False)
+    t0 = time.perf_counter()
+    best = trainer.train()
+    dt = time.perf_counter() - t0
+    eps = train_b.n * args.epochs / dt
+    print(json.dumps({
+        "metric": "synth_electronics_scale_examples_per_sec",
+        "value": round(eps, 1), "unit": "examples/s",
+        "train_n": train_b.n, "users": args.users, "items": args.items,
+        "build_s": round(build_s, 2), "final_auc": round(best["auc"], 4),
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
