@@ -58,11 +58,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="Home_and_Kitchen")
     p.add_argument("--model", default="tlsan",
-                   choices=["tlsan", "shan", "atrank", "lspm", "bilstm"])
+                   choices=["tlsan", "shan", "atrank", "lspm", "bilstm",
+                            "paca", "cnn", "csan", "bpr"])
     args = p.parse_args()
 
     ref_dirs = {"tlsan": "TLSAN", "shan": "SHAN", "atrank": "ATRank",
-                "lspm": "LSPM", "bilstm": "Bi-LSTM"}
+                "lspm": "LSPM", "bilstm": "Bi-LSTM", "paca": "PACA",
+                "cnn": "CNN", "csan": "CSAN", "bpr": "BPR"}
     with tempfile.TemporaryDirectory() as wd:
         pkl = run_reference_builder(ref_dirs[args.model], args.dataset, wd)
         with open(pkl, "rb") as f:
@@ -70,6 +72,7 @@ def main():
             ref_test = pickle.load(f)
 
     from tlsan_tpu.data import (
+        build_pairwise_examples,
         build_prefix_examples,
         build_session_examples,
         load_category,
@@ -77,14 +80,20 @@ def main():
 
     reviews_df, _, cate_list, c = load_category(
         os.path.join(REF, "Data", f"{args.dataset}.pkl"))
-    if args.model in ("tlsan", "shan"):
+    if args.model in ("tlsan", "shan", "paca"):
         train, test = build_session_examples(
             reviews_df, cate_list, c.item_count, args.model)
+    elif args.model == "bpr":
+        train, test = build_pairwise_examples(reviews_df, c.item_count)
+        train, test = train.tolist(), test.tolist()
+        ref_train = [list(map(int, t)) for t in np.asarray(ref_train)]
+        ref_test = [list(map(int, t)) for t in np.asarray(ref_test)]
     else:
-        time_mode = {"atrank": "bucket", "lspm": "none",
-                     "bilstm": "none"}[args.model]
+        time_mode = {"atrank": "bucket", "lspm": "none", "bilstm": "none",
+                     "cnn": "bucket", "csan": "raw"}[args.model]
         train, test = build_prefix_examples(
             reviews_df, c.item_count, time_mode=time_mode,
+            max_length=80 if args.model == "cnn" else 90,
             pack_pos_neg=args.model == "lspm")
 
     assert len(ref_train) == len(train), (len(ref_train), len(train))
