@@ -112,8 +112,10 @@ def main():
         with open(os.path.join(mdir, fname), "w") as f:
             f.write(src)
 
+    # TF_USE_LEGACY_KERAS: keras-3 removed tf.compat.v1.layers.*; the
+    # installed tf_keras wheel restores them
     env = dict(os.environ, JAX_PLATFORMS="cpu",
-               TF_CPP_MIN_LOG_LEVEL="3")
+               TF_CPP_MIN_LOG_LEVEL="3", TF_USE_LEGACY_KERAS="1")
     if not os.path.exists(os.path.join(mdir, "dataset.pkl")):
         print(f"[ref_tf_run] building dataset.pkl in {mdir}", flush=True)
         subprocess.run([sys.executable, "build_dataset.py"],

@@ -20,7 +20,7 @@ from tlsan_tpu.data.batcher import Batches, round8
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC_DIR = os.path.join(_REPO, "native")
-_LIB_PATH = os.path.join(_SRC_DIR, "libtlsan_native.so")
+_CFLAGS = ["-O3", "-shared", "-fPIC", "-std=c++17"]
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -30,15 +30,25 @@ _f32p = ctypes.POINTER(ctypes.c_float)
 
 
 def _build_library() -> str:
+    # the artifact name is keyed on a content hash of the sources + flags
+    # (mtimes are not preserved by git, so an mtime check could silently pick
+    # up a stale or foreign-platform binary after a fresh clone)
+    import hashlib
     src = os.path.join(_SRC_DIR, "builder.cpp")
     hdr = os.path.join(_SRC_DIR, "pyrandom.h")
-    if (not os.path.exists(_LIB_PATH)
-            or os.path.getmtime(_LIB_PATH) < max(os.path.getmtime(src),
-                                                 os.path.getmtime(hdr))):
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB_PATH, src],
-            check=True, capture_output=True)
-    return _LIB_PATH
+    h = hashlib.sha256()
+    h.update(" ".join(_CFLAGS).encode())
+    for p in (hdr, src):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    lib_path = os.path.join(
+        _SRC_DIR, f"libtlsan_native-{h.hexdigest()[:12]}.so")
+    if not os.path.exists(lib_path):
+        tmp = lib_path + f".tmp{os.getpid()}"
+        subprocess.run(["g++", *_CFLAGS, "-o", tmp, src],
+                       check=True, capture_output=True)
+        os.replace(tmp, lib_path)  # atomic vs concurrent builders
+    return lib_path
 
 
 def available() -> bool:

@@ -15,7 +15,6 @@ with unixReviewTime already converted to *days*, ids dense in [0, count).
 from __future__ import annotations
 
 import ast
-import dataclasses
 import pickle
 from typing import Iterable, List, Tuple
 
@@ -114,6 +113,23 @@ def remap_ids(
 
     meta_df = meta_df[meta_df["asin"].isin(reviews_df["asin"].unique())]
 
+    # the asin id space is built from meta (reference: 2_remap_id.py:71-80);
+    # a review whose asin has NO meta row would map to NaN and silently
+    # poison every downstream id array — drop such rows loudly, BEFORE the
+    # id maps are built, so user/item/cate/example counts are all computed
+    # on the final row set (a user losing all rows must not leave a hole in
+    # the dense user id space: builders rely on len(test_set) == user_count).
+    # Cannot happen with the reference-converted dumps, where meta is
+    # filtered TO reviewed asins, but raw dumps are not guaranteed complete.
+    unmapped = ~reviews_df["asin"].isin(set(meta_df["asin"]))
+    if unmapped.any():
+        import warnings
+        warnings.warn(
+            f"dropping {int(unmapped.sum())} review rows whose asin has no "
+            f"metadata entry (no category available)")
+        reviews_df = reviews_df[~unmapped]
+        meta_df = meta_df[meta_df["asin"].isin(reviews_df["asin"].unique())]
+
     def build_map(df: pd.DataFrame, col: str) -> dict:
         key = sorted(df[col].unique().tolist())
         m = dict(zip(key, range(len(key))))
@@ -134,20 +150,6 @@ def remap_ids(
     )
 
     meta_df = meta_df.sort_values("asin").reset_index(drop=True)
-    # the asin id space is built from meta (reference: 2_remap_id.py:71-80);
-    # a review whose asin has NO meta row would map to NaN and silently
-    # poison every downstream id array — drop such rows loudly instead
-    # (cannot happen with the reference-converted dumps, where meta is
-    # filtered TO reviewed asins, but raw dumps are not guaranteed complete)
-    unmapped = ~reviews_df["asin"].isin(asin_map)
-    if unmapped.any():
-        import warnings
-        warnings.warn(
-            f"dropping {int(unmapped.sum())} review rows whose asin has no "
-            f"metadata entry (no category available)")
-        reviews_df = reviews_df[~unmapped]
-        counts = dataclasses.replace(
-            counts, example_count=int(reviews_df.shape[0]))
     reviews_df["asin"] = reviews_df["asin"].map(asin_map)
     reviews_df = reviews_df.sort_values(["reviewerID", "unixReviewTime"]).reset_index(
         drop=True

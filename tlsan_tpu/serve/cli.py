@@ -30,26 +30,36 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--show", type=int, default=3)
     p.add_argument("--exclude_history", action="store_true")
+    p.add_argument("--query_mode", choices=["label", "last"], default="label",
+                   help="atrank/csan condition their user tower on a query "
+                        "item: 'label' keeps the held-out test positive (the "
+                        "reference's eval protocol), 'last' uses the user's "
+                        "most recent history item (genuine serving)")
     p.add_argument("--out", default=None,
                    help="write ALL users' recommendations as JSONL here "
                         "(bulk/offline inference)")
     args = p.parse_args(argv)
 
-    # model name: --model, else the latest checkpoint's JSON config sidecar
-    from tlsan_tpu.core.config import ModelConfig, load_config_json
+    from tlsan_tpu.core.config import (ModelConfig, load_config_json,
+                                       model_config_from_json)
     from tlsan_tpu.train import checkpoint
     from tlsan_tpu.train.cli import prepare
 
-    model_name = args.model
+    # the checkpoint's JSON config sidecar drives both the model choice and
+    # the request packing (Ls / lspm_k / max_length / ... must match the
+    # shapes the model was trained with, not the defaults)
+    ckpt_path = checkpoint.best_checkpoint(args.model_dir)
+    sidecar = None
+    if ckpt_path is not None:
+        cfg_d = load_config_json(ckpt_path[: -len(".ckpt")] + ".json")
+        sidecar = model_config_from_json(cfg_d["ModelConfig"])
+    model_name = args.model or (sidecar.model if sidecar else None)
     if model_name is None:
-        path = checkpoint.best_checkpoint(args.model_dir)
-        if path is None:
-            raise SystemExit(f"no checkpoint under {args.model_dir}")
-        cfg_d = load_config_json(path[:-len(".ckpt")] + ".json")
-        model_name = cfg_d["ModelConfig"]["model"]
+        raise SystemExit(f"no checkpoint under {args.model_dir}")
 
-    # rebuild the test split as request traffic (same packing as eval)
-    cfg0 = ModelConfig(model=model_name)
+    # rebuild the test split as request traffic (same packing as training)
+    cfg0 = (sidecar if sidecar is not None and sidecar.model == model_name
+            else ModelConfig(model=model_name))
     _, test_b, cate_list, _ = prepare(
         model_name, os.path.join(args.data_dir, f"{args.dataset}.pkl"), cfg0)
 
@@ -62,6 +72,16 @@ def main(argv=None):
     drop = ("j", "y") if model_name in ("atrank", "csan") else ("i", "j", "y")
     batch = {k: v for k, v in test_b.arrays.items() if k not in drop}
     n = len(next(iter(batch.values())))
+    if model_name in ("atrank", "csan"):
+        if args.query_mode == "last":
+            # genuine serving: query = the user's most recent history item
+            last = np.maximum(batch["sl"], 1) - 1
+            batch["i"] = batch["hist_i"][np.arange(n), last]
+        else:
+            print("WARNING: --query_mode=label conditions recommendations on "
+                  "the held-out test positive (the reference's eval "
+                  "protocol); use --query_mode=last for genuine serving",
+                  flush=True)
 
     ids, scores = rec.recommend(batch)  # warm + compile
     t0 = time.perf_counter()
