@@ -58,6 +58,7 @@ def main():
     p.add_argument("--cates", type=int, default=673)
     p.add_argument("--mean_reviews", type=int, default=14)
     p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--no_sparse", dest="sparse", action="store_false", default=True)
     args = p.parse_args()
 
     t0 = time.perf_counter()
@@ -85,7 +86,8 @@ def main():
     cfg = ModelConfig(model="tlsan", user_count=args.users,
                       item_count=args.items, cate_count=args.cates, Ts=Ts)
     tc = TrainConfig(model_dir="runs/synth_scale", max_epochs=args.epochs,
-                     eval_freq=10**9, best_after_step=0, save_auc_gate=2.0)
+                     eval_freq=10**9, best_after_step=0, save_auc_gate=2.0,
+                     sparse_updates=args.sparse)
     trainer = Trainer(TLSAN, cfg, tc, cate_list, train_b, test_b,
                       use_pallas=False)
     t0 = time.perf_counter()
@@ -97,7 +99,7 @@ def main():
         "value": round(eps, 1), "unit": "examples/s",
         "train_n": train_b.n, "users": args.users, "items": args.items,
         "build_s": round(build_s, 2), "final_auc": round(best["auc"], 4),
-        "backend": jax.default_backend(),
+        "backend": jax.default_backend(), "sparse": args.sparse,
     }), flush=True)
 
 

@@ -1,15 +1,63 @@
 """End-to-end Trainer on a (dp, mp) mesh equals the single-device Trainer,
 including vocab-size padding + catalog masking (item counts not divisible
-by mp)."""
+by mp) — for EVERY model family, including each family's distributed
+top-k eval (parallel/topk.py k·mp exchange instead of the table
+all-gather)."""
 
 import numpy as np
 import jax
 import pytest
 
 from tlsan_tpu.core.config import ModelConfig, TrainConfig
+from tlsan_tpu.data.batcher import Batches
+from tlsan_tpu.models import get_model
 from tlsan_tpu.models.tlsan import TLSAN
+from tlsan_tpu.train.cli import prepare
 from tlsan_tpu.train.loop import Trainer
 from tests.test_train import synthetic
+
+DATA = "/root/reference/Data/Clothing_Shoes_and_Jewelry.pkl"
+
+ALL_FAMILIES = ["tlsan", "atrank", "shan", "csan", "lspm",
+                "paca", "cnn", "bilstm", "bpr"]
+
+
+def _slice(b: Batches, n: int) -> Batches:
+    n = min(n, b.n)
+    return Batches({k: v[:n] for k, v in b.arrays.items()}, n)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("model_name", ALL_FAMILIES)
+def test_mesh_matches_single_device_all_families(tmp_path, model_name):
+    """One train chunk + full eval (AUC and the top-k metrics, which route
+    through the sharded k·mp candidate exchange under mp>1) must match the
+    single-device Trainer on real Clothing data for every family."""
+    cfg0 = ModelConfig(model=model_name)
+    train_b, test_b, cate_list, cfg = prepare(model_name, DATA, cfg0)
+    train_b, test_b = _slice(train_b, 192), _slice(test_b, 96)
+    model = get_model(model_name)
+    base = dict(max_epochs=1, train_batch_size=32, test_batch_size=32,
+                steps_per_call=3, eval_freq=10**9, best_after_step=0,
+                sparse_updates=False)
+
+    tc1 = TrainConfig(model_dir=str(tmp_path / "single"), **base)
+    tr1 = Trainer(model, cfg, tc1, cate_list, train_b, test_b,
+                  use_pallas=False)
+    m1 = tr1.evaluate()
+    _, _, loss1 = tr1._train_chunk(
+        tr1.params, tr1.opt_state, tr1._epoch_index(0)[0])
+
+    tc2 = TrainConfig(model_dir=str(tmp_path / "mesh"), dp=4, mp=2, **base)
+    tr2 = Trainer(model, cfg, tc2, cate_list, train_b, test_b,
+                  use_pallas=False)
+    m2 = tr2.evaluate()
+    _, _, loss2 = tr2._train_chunk(
+        tr2.params, tr2.opt_state, tr2._epoch_index(0)[0])
+
+    for k in m1:
+        assert abs(m1[k] - m2[k]) < 1e-5, (k, m1[k], m2[k])
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

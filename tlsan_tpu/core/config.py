@@ -133,6 +133,11 @@ class TrainConfig:
     # fused scan: number of train steps executed per device dispatch
     steps_per_call: int = 100
 
+    # touched-row (sparse) vocab-table updates for optimizer='sgd' on a
+    # single device (train/sparse.py); exact vs the dense step, ~O(V) faster
+    # per step on large catalogs.  False forces the dense optax path.
+    sparse_updates: bool = True
+
     # parallelism: data-parallel and model-parallel (table-sharding) axis sizes
     dp: int = 1
     mp: int = 1

@@ -53,6 +53,9 @@ def _ffn_params(rng, D):
 
 class ATRank:
     name = "atrank"
+    # tables the reference regularizes as FULL variables (dense L2 grad;
+    # the sparse train path decays these analytically): row-L2 only, ATRank/model.py:130-133
+    l2_full_tables = ()
 
     @staticmethod
     def init_params(rng, cfg: ModelConfig):

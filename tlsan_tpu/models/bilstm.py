@@ -25,6 +25,9 @@ from tlsan_tpu.nn.layers import dense, gather_time, lstm_scan, reverse_valid
 
 class BiLSTM:
     name = "bilstm"
+    # tables the reference regularizes as FULL variables (dense L2 grad;
+    # the sparse train path decays these analytically): Bi-LSTM/model.py:108-112
+    l2_full_tables = ("user_emb", "item_emb", "cate_emb")
 
     @staticmethod
     def init_params(rng, cfg: ModelConfig):

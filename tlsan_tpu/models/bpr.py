@@ -19,6 +19,9 @@ from tlsan_tpu.nn.init import glorot_uniform
 
 class BPR:
     name = "bpr"
+    # tables the reference regularizes as FULL variables (dense L2 grad;
+    # the sparse train path decays these analytically): row-L2 only, BPR/model.py:65-69
+    l2_full_tables = ()
 
     @staticmethod
     def init_params(rng, cfg: ModelConfig):

@@ -31,6 +31,9 @@ def _truncated_normal(rng, shape, stddev=0.1):
 
 class CNN:
     name = "cnn"
+    # tables the reference regularizes as FULL variables (dense L2 grad;
+    # the sparse train path decays these analytically): CNN/model.py:126-129
+    l2_full_tables = ("item_emb", "cate_emb")
 
     @staticmethod
     def init_params(rng, cfg: ModelConfig):

@@ -110,6 +110,9 @@ def _dir_params(rng, E):
 
 class CSAN:
     name = "csan"
+    # tables the reference regularizes as FULL variables (dense L2 grad;
+    # the sparse train path decays these analytically): CSAN/model.py:112-114
+    l2_full_tables = ("item_emb",)
 
     @staticmethod
     def init_params(rng, cfg: ModelConfig):

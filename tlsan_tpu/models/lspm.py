@@ -22,6 +22,9 @@ from tlsan_tpu.nn.init import glorot_uniform
 
 class LSPM:
     name = "lspm"
+    # tables the reference regularizes as FULL variables (dense L2 grad;
+    # the sparse train path decays these analytically): row-L2 only, LSPM/model.py:92-97
+    l2_full_tables = ()
 
     @staticmethod
     def init_params(rng, cfg: ModelConfig):

@@ -27,6 +27,9 @@ from tlsan_tpu.nn.masks import sequence_mask
 
 class PACA:
     name = "paca"
+    # tables the reference regularizes as FULL variables (dense L2 grad;
+    # the sparse train path decays these analytically): PACA/model.py:100-103
+    l2_full_tables = ("item_emb", "position_w")
 
     @staticmethod
     def init_params(rng, cfg: ModelConfig):

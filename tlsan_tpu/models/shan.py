@@ -38,6 +38,9 @@ def _attention_layer(query, keys, w, b):
 
 class SHAN:
     name = "shan"
+    # tables the reference regularizes as FULL variables (dense L2 grad;
+    # the sparse train path decays these analytically): SHAN/model.py:131-136
+    l2_full_tables = ("user_emb", "item_emb", "layer1_w", "layer2_w")
 
     @staticmethod
     def init_params(rng, cfg: ModelConfig):

@@ -37,6 +37,9 @@ from tlsan_tpu.ops.feature_attention import (
 
 class TLSAN:
     name = "tlsan"
+    # tables the reference regularizes as FULL variables (dense L2 grad;
+    # the sparse train path decays these analytically): TLSAN/model.py:164-169
+    l2_full_tables = ("user_emb", "item_emb", "cate_emb", "usert_emb")
 
     @staticmethod
     def init_params(rng, cfg: ModelConfig) -> Dict:

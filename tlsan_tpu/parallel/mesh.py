@@ -24,7 +24,9 @@ DP_AXIS = "dp"
 MP_AXIS = "mp"
 
 # model parameters whose leading dim is a vocab axis → row-sharded over mp
-VOCAB_SHARDED_PARAMS = ("item_emb", "item_b", "user_emb", "usert_emb", "cate_emb")
+# (short_w/long_w are LSPM's item-/user-vocab tables — LSPM/model.py:46-49)
+VOCAB_SHARDED_PARAMS = ("item_emb", "item_b", "user_emb", "usert_emb",
+                        "cate_emb", "short_w", "long_w")
 
 
 def make_mesh(dp: int = 0, mp: int = 1, devices=None) -> Mesh:

@@ -19,11 +19,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tlsan_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 
 
-def sharded_topk_scores(mesh: Mesh, u_repr, all_emb, all_b, k: int):
+def sharded_topk_scores(mesh: Mesh, u_repr, all_emb, all_b, k: int,
+                        catalog_items: int | None = None):
     """Global top-k (values, indices) of u_repr @ all_emb.T + all_b.
 
     u_repr [B, D] sharded P(dp); all_emb [V, D] sharded P(mp); all_b [V] or
     None.  Returns (values [B, k], indices [B, k]) sharded P(dp).
+    `catalog_items` masks the mp-padding catalog rows (global row id ≥
+    catalog_items) out of the ranking.
     """
     has_bias = all_b is not None
     bias_spec = (P(MP_AXIS),) if has_bias else ()
@@ -45,6 +48,10 @@ def sharded_topk_scores(mesh: Mesh, u_repr, all_emb, all_b, k: int):
             precision="highest")              # [B_local, V/mp]
         if maybe_bias:
             scores = scores + maybe_bias[0]
+        if catalog_items is not None:
+            gids = shard * vloc + jnp.arange(vloc)
+            scores = jnp.where(gids[None, :] < catalog_items,
+                               scores, -jnp.inf)
         k_local = min(k, vloc)
         vals, idx = jax.lax.top_k(scores, k_local)
         idx = idx + shard * vloc              # globalize indices

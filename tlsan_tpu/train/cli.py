@@ -199,6 +199,10 @@ def main(argv=None):
                    default=False)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false",
                    help="(default) use the XLA attention path")
+    p.add_argument("--no_sparse", dest="sparse_updates", action="store_false",
+                   default=True,
+                   help="force dense [V,D] table updates (default: sparse "
+                        "touched-row updates for sgd on a single device)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few train chunks "
                         "before training")
@@ -266,6 +270,7 @@ def main(argv=None):
                              "bpr": 0.0}[args.model]),
         dp=args.dp,
         mp=args.mp,
+        sparse_updates=args.sparse_updates,
     )
 
     data_path = os.path.join(args.data_dir, f"{args.dataset}.pkl")

@@ -61,27 +61,49 @@ def make_auc_fn(model, cfg, cate_list, use_pallas: bool = True):
     return auc
 
 
-def make_topk_fn(model, cfg, cate_list, use_pallas: bool = True):
+def make_topk_fn(model, cfg, cate_list, use_pallas: bool = True,
+                 mesh=None, vocab_sharded: bool = False):
     """Returns topk(params, data) → dict of P@k / R@k for k in TOPK_KS.
 
     Per batch: full-catalog logits [B, I] on the MXU, top-50 indices, rank of
     the positive label, hit@k accumulation.
+
+    Under a vocab-sharded mesh the dense [B, V] scoring would silently
+    all-gather the row-sharded table every batch; instead each mp shard
+    scores its own catalog rows and only k·mp candidates are exchanged
+    (parallel/topk.py — the distributed replacement for the reference's
+    eval matmul, TLSAN/model.py:140-156).
     """
     max_k = max(TOPK_KS)
+    use_sharded = mesh is not None and vocab_sharded
 
     @jax.jit
     def topk(params, data):
         def body(carry, batch):
             hits_sum, n = carry
-            logits = model.eval_logits(params, batch, cate_list, cfg, use_pallas)
-            if cfg.catalog_items and cfg.catalog_items < logits.shape[1]:
-                # mask mp-padding catalog rows out of the ranking
-                item_ids = jnp.arange(logits.shape[1])
-                logits = jnp.where(item_ids[None, :] < cfg.catalog_items,
-                                   logits, -jnp.inf)
-            # catalogs smaller than 50 (tiny tests) clamp k
-            k_eff = min(max_k, logits.shape[1])
-            _, top_idx = jax.lax.top_k(logits, k_eff)  # [B, ≤50]
+            if use_sharded:
+                from tlsan_tpu.parallel.topk import sharded_topk_scores
+                u_t = model.user_repr(params, batch, cate_list, cfg,
+                                      use_pallas)
+                all_emb, all_b = model.all_item_repr(params, cate_list, cfg)
+                k_eff = min(max_k, int(all_emb.shape[0]))
+                catalog = (cfg.catalog_items
+                           if cfg.catalog_items
+                           and cfg.catalog_items < all_emb.shape[0]
+                           else None)
+                _, top_idx = sharded_topk_scores(
+                    mesh, u_t, all_emb, all_b, k_eff, catalog_items=catalog)
+            else:
+                logits = model.eval_logits(params, batch, cate_list, cfg,
+                                           use_pallas)
+                if cfg.catalog_items and cfg.catalog_items < logits.shape[1]:
+                    # mask mp-padding catalog rows out of the ranking
+                    item_ids = jnp.arange(logits.shape[1])
+                    logits = jnp.where(item_ids[None, :] < cfg.catalog_items,
+                                       logits, -jnp.inf)
+                # catalogs smaller than 50 (tiny tests) clamp k
+                k_eff = min(max_k, logits.shape[1])
+                _, top_idx = jax.lax.top_k(logits, k_eff)  # [B, ≤50]
             label = batch["i"][:, None]
             match = top_idx == label  # [B, 50]
             # rank of the hit (max_k if absent)
@@ -113,7 +135,8 @@ class Evaluator:
                  vocab_sharded: bool = False):
         self.data, self.n_batches = _device_data(test_batches, batch_size, mesh)
         self._auc = make_auc_fn(model, cfg, cate_list, use_pallas)
-        self._topk = make_topk_fn(model, cfg, cate_list, use_pallas)
+        self._topk = make_topk_fn(model, cfg, cate_list, use_pallas,
+                                  mesh=mesh, vocab_sharded=vocab_sharded)
         self._mesh, self._vs = mesh, vocab_sharded
 
     def _ctx(self):

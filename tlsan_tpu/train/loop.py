@@ -114,6 +114,29 @@ class Trainer:
         opt, data, use_pallas = self.opt, self.train_data, self.use_pallas
         mesh = self.mesh
 
+        # sparse touched-row table updates (train/sparse.py): exact SGD
+        # semantics at O(touched rows) instead of dense [V, D] passes —
+        # the reference's IndexedSlices behavior, TPU-native
+        from tlsan_tpu.train import sparse as sparse_mod
+        from tlsan_tpu.train.state import lr_schedule
+        self._use_sparse = (
+            self.tc.optimizer == "sgd" and mesh is None
+            and self.tc.sparse_updates
+            and sparse_mod.sparsifiable(self.params, data))
+        if self._use_sparse:
+            chunk = sparse_mod.make_sparse_chunk(
+                model, cfg, self.tc, cate_list, data, self.params,
+                use_pallas, lr_schedule(self.tc))
+            self._dropout_rng = jax.random.PRNGKey(self.tc.seed + 1)
+
+            def run_sparse(params, opt_state, idx):
+                params, self._dropout_rng, loss = chunk(
+                    params, jnp.asarray(self.step, jnp.int32), idx,
+                    self._dropout_rng)
+                return params, opt_state, loss
+
+            return run_sparse
+
         def constrain(batch):
             """Shard each gathered batch over dp (dataset stays replicated)."""
             if mesh is None:
@@ -179,6 +202,16 @@ class Trainer:
         metrics.update(self.evaluator.topk(self.params))
         return metrics
 
+    def _ckpt_opt_state(self):
+        """Optimizer state to persist: the sparse-SGD path keeps no live
+        optax state, so rebuild one with schedule counters = step (restores
+        seamlessly into the dense path and vice versa)."""
+        if getattr(self, "_use_sparse", False):
+            from tlsan_tpu.train import sparse as sparse_mod
+            return sparse_mod.opt_state_with_count(
+                self.opt, self.params, self.step)
+        return self.opt_state
+
     def profile_trace(self, n_chunks: int = 3, out_dir: Optional[str] = None):
         """Capture a jax.profiler device trace over a few train chunks
         (replaces the reference's wall-clock-only timing,
@@ -233,8 +266,8 @@ class Trainer:
                         best = {**metrics, "step": self.step}
                         if metrics["auc"] > tc.save_auc_gate:
                             ckpt.save(tc.model_dir, self.model.name, self.step,
-                                      self.params, self.opt_state, self.cfg, tc,
-                                      best=True)
+                                      self.params, self._ckpt_opt_state(),
+                                      self.cfg, tc, best=True)
             dt = time.time() - t_epoch
             epoch_examples = examples_seen - examples_at_epoch_start
             self.writer.write("epoch", self.step, {
@@ -251,5 +284,5 @@ class Trainer:
         if final["auc"] > best["auc"]:
             best = {**final, "step": self.step}
         ckpt.save(tc.model_dir, self.model.name, self.step,
-                  self.params, self.opt_state, self.cfg, tc)
+                  self.params, self._ckpt_opt_state(), self.cfg, tc)
         return best

@@ -1,0 +1,231 @@
+"""Sparse (touched-row) SGD updates for the vocab embedding tables.
+
+The reference gets row-sparse embedding gradients from TF's
+``tf.nn.embedding_lookup`` → ``IndexedSlices`` (TLSAN/model.py:84-113) and
+applies them with the optimizer's sparse path (TLSAN/model.py:197-205).  A
+naive JAX train step instead materializes dense ``[V, D]`` gradients (the
+gather VJP is a scatter-add into ``zeros_like(table)``), so every step pays
+~5 full-table HBM passes (grad zeros+scatter, global-norm read, SGD
+update, apply) — the measured 4× throughput collapse at Electronics scale
+(RESULTS.md round-1 stress test).
+
+One measured caveat to the "TF is sparse" story: for 6 of the 9 families
+(TLSAN/SHAN/PACA/CSAN/CNN/Bi-LSTM) the reference's L2 term is over the FULL
+table variables (e.g. ``tf.nn.l2_loss(user_emb)`` — TLSAN/model.py:164-168),
+which makes even TF's aggregated gradient dense there.  This module keeps
+the exact same semantics while staying sparse:
+
+  * the model computes its L2 over the *gathered row block* (the rows it
+    touched) — giving exactly the dense gradient restricted to touched rows;
+  * the untouched-row part of the L2 gradient is ``rr·T`` — applied
+    analytically as ONE fused multiplicative decay pass
+    ``T ← (1 − lr·clip·rr)·T`` plus a sparse correction on touched rows;
+  * the global-norm clip needs ‖grad‖ over the whole tree — the untouched
+    contribution is ``rr²·(‖T‖² − ‖T_rows‖²)``, tracked by a carried scalar
+    ``q = ‖T‖²`` with an exact sparse recurrence (re-read densely once per
+    fused chunk, so float drift is bounded to steps_per_call steps).
+
+Net per-step cost: one fused elementwise decay pass over tables with
+full-table L2 (skipped entirely for row-L2 models: ATRank/LSPM/BPR) plus
+O(touched rows) gather/scatter — instead of ~5 dense passes.
+
+Exactness: for optimizer='sgd' + clip_by_global_norm + the piecewise LR
+schedule, the update equals the dense optax step up to float associativity
+(tests/test_sparse.py drives both paths over real data and asserts
+tolerance-level parity on every parameter).
+
+Engaged by the Trainer when optimizer='sgd' and no device mesh is active
+(the (dp, mp) mesh path keeps the dense step; vocab-sharded tables have
+their own gather/scatter exchange — parallel/sharded_embedding.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# id spaces: which batch keys hold ids of a space, and which param tables
+# are indexed by that space (models use the subset present in their params)
+ITEM_KEYS: Tuple[str, ...] = ("hist_i", "hist_i_new", "i", "j")
+ITEM_TABLES: Tuple[str, ...] = ("item_emb", "item_b", "short_w")
+USER_KEYS: Tuple[str, ...] = ("u",)
+USER_TABLES: Tuple[str, ...] = ("user_emb", "usert_emb", "long_w")
+
+
+class SpaceSpec:
+    """One id space: batch keys, table names, static unique-capacity K."""
+
+    def __init__(self, keys: List[str], tables: List[str], size: int,
+                 vocab: int):
+        self.keys = keys
+        self.tables = tables
+        self.size = size        # K = total id slots in one batch (static)
+        self.vocab = vocab      # sentinel id for padding (> every real id)
+
+
+def build_spaces(params: Dict, data: Dict, batch_size: int) -> List[SpaceSpec]:
+    """Decide which id spaces can be sparsified for this model + dataset.
+
+    `data` holds the full packed arrays ([N, ...]); per-example slot counts
+    come from their trailing dims.
+    """
+
+    def slots(key):
+        n = 1
+        for d in data[key].shape[1:]:
+            n *= int(d)
+        return n
+
+    spaces = []
+    item_keys = [k for k in ITEM_KEYS if k in data]
+    item_tabs = [t for t in ITEM_TABLES if t in params]
+    if item_keys and item_tabs:
+        K = batch_size * sum(slots(k) for k in item_keys)
+        spaces.append(SpaceSpec(item_keys, item_tabs, K,
+                                int(params[item_tabs[0]].shape[0])))
+    user_keys = [k for k in USER_KEYS if k in data]
+    user_tabs = [t for t in USER_TABLES if t in params]
+    if user_keys and user_tabs:
+        K = batch_size * sum(slots(k) for k in user_keys)
+        spaces.append(SpaceSpec(user_keys, user_tabs, K,
+                                int(params[user_tabs[0]].shape[0])))
+    return spaces
+
+
+def sparsifiable(params: Dict, data: Dict) -> bool:
+    return bool(build_spaces(params, data, 1))
+
+
+def _sq(x) -> jnp.ndarray:
+    return jnp.sum(jnp.square(x))
+
+
+def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
+                      schedule):
+    """Build the jitted fused-scan train chunk with sparse table updates.
+
+    Returns ``chunk(params, step0, idx, rng) -> (params, rng, mean_loss)``
+    semantically interchangeable with the dense optax chunk in
+    train/loop.py (same carry contract minus opt_state, which SGD doesn't
+    need beyond the step count — passed explicitly as ``step0``).
+    """
+    spaces = build_spaces(params, data, tc.train_batch_size)
+    assert spaces, "model/batch has no sparsifiable id space"
+    # tables whose L2 is over the FULL table in the reference: their
+    # untouched rows decay by (1 - lr*clip*rr) each step
+    full_l2 = set(getattr(model, "l2_full_tables", ()))
+    sparse_names = {t for sp in spaces for t in sp.tables}
+    decay_names = sorted(sparse_names & full_l2)
+    rr = cfg.regulation_rate
+    max_norm = tc.max_gradient_norm
+    use_dropout = cfg.dropout > 0.0
+
+    def gather_space(params, batch, sp: SpaceSpec):
+        """unique ids (sentinel-padded, sorted), masked row blocks, remapped
+        batch keys."""
+        flat = jnp.concatenate(
+            [batch[k].reshape(-1).astype(jnp.int32) for k in sp.keys])
+        # fill_value=vocab keeps the padded array sorted (sentinel > all
+        # real ids), so searchsorted stays exact; the sentinel slots gather
+        # zero rows (OOB fill), so they are inert in the model's row-L2
+        uids = jnp.unique(flat, size=sp.size, fill_value=sp.vocab)
+        rows = {t: jnp.take(params[t], uids, axis=0, mode="fill",
+                            fill_value=0)
+                for t in sp.tables}
+        remapped = {k: jnp.searchsorted(uids, batch[k].astype(jnp.int32))
+                    for k in sp.keys}
+        return uids, rows, remapped
+
+    def loss_fn(sub_params, batch, local_cate):
+        return model.loss(sub_params, batch, local_cate, cfg, use_pallas)
+
+    def step(carry, ib):
+        params, q, step_no, rng = carry
+        batch = {k: v[ib] for k, v in data.items()}
+        if use_dropout:
+            rng, sub = jax.random.split(rng)
+            batch["dropout_rng"] = sub
+
+        uids_by_space, rows_all = [], {}
+        sub_params = dict(params)
+        sub_batch = dict(batch)
+        local_cate = cate_list
+        for sp in spaces:
+            uids, rows, remapped = gather_space(params, batch, sp)
+            uids_by_space.append(uids)
+            rows_all.update(rows)
+            sub_params.update(rows)
+            sub_batch.update(remapped)
+            if "item_emb" in sp.tables:
+                # models resolve item→cate through cate_list[ids]; ids are
+                # now local row indices, so hand them a local cate view
+                local_cate = jnp.take(cate_list, uids, axis=0,
+                                       mode="fill", fill_value=0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(
+            sub_params, sub_batch, local_cate)
+
+        # global-norm over the whole (dense ∪ sparse-rows) tree, plus the
+        # analytic untouched-row L2 contribution rr²·(q_t − ‖rows_t‖²)
+        gsq = sum(_sq(g) for g in jax.tree_util.tree_leaves(grads))
+        untouched_sq = {t: jnp.maximum(q[t] - _sq(rows_all[t]), 0.0)
+                        for t in decay_names}
+        gsq = gsq + sum(rr * rr * untouched_sq[t] for t in decay_names)
+        gnorm = jnp.sqrt(gsq)
+        clip = jnp.where(gnorm < max_norm, 1.0, max_norm / gnorm)
+        a = schedule(step_no) * clip  # effective step size (optax parity)
+
+        new_params = dict(params)
+        # dense leaves (possibly nested subtrees): plain SGD
+        for name, g in grads.items():
+            if name not in sparse_names:
+                new_params[name] = jax.tree_util.tree_map(
+                    lambda p, gg: p - a * gg, params[name], g)
+        # sparsified tables: one fused decay pass (full-L2 tables only) +
+        # touched-row scatter correction; sentinel slots carry zero deltas
+        # and OOB scatter indices are dropped
+        new_q = {}
+        for sp, uids in zip(spaces, uids_by_space):
+            for t in sp.tables:
+                g_rows, r_rows = grads[t], rows_all[t]
+                if t in decay_names:
+                    d = 1.0 - a * rr
+                    decayed = params[t] * d
+                    delta = a * rr * r_rows - a * g_rows
+                    new_params[t] = decayed.at[uids].add(delta, mode="drop")
+                    new_q[t] = (d * d * untouched_sq[t]
+                                + _sq(r_rows - a * g_rows))
+                else:
+                    new_params[t] = params[t].at[uids].add(
+                        -a * g_rows, mode="drop")
+        # reported loss: add back the L2 mass of untouched rows the row-L2
+        # can't see, for display parity with the dense path
+        loss = loss + 0.5 * rr * sum(untouched_sq[t] for t in decay_names)
+        return (new_params, new_q, step_no + 1, rng), loss
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def chunk(params, step0, idx, rng):
+        # q = ‖T‖² per decaying table; ONE dense read per fused chunk keeps
+        # the in-scan recurrence drift bounded to steps_per_call steps
+        q0 = {t: _sq(params[t]) for t in decay_names}
+        (params, _, _, rng), losses = jax.lax.scan(
+            step, (params, q0, step0, rng), idx)
+        return params, rng, jnp.mean(losses)
+
+    return chunk
+
+
+def opt_state_with_count(opt, params, step):
+    """An optax state whose schedule counters equal `step`, so checkpoints
+    written by the sparse path restore seamlessly into the dense path."""
+    st = opt.init(params)
+    return jax.tree_util.tree_map(
+        lambda x: (jnp.asarray(step, x.dtype)
+                   if (hasattr(x, "dtype") and x.ndim == 0
+                       and jnp.issubdtype(x.dtype, jnp.integer))
+                   else x),
+        st)
