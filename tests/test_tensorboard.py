@@ -69,3 +69,41 @@ def test_jsonl_still_written(tmp_path):
     mw.close()
     assert os.path.exists(mw.path)
     assert not os.path.exists(os.path.join(tmp_path, "train"))
+
+
+def test_histo_digest_np_basics():
+    import numpy as np
+    from tlsan_tpu.train import tensorboard as tb
+    a = np.asarray([-2.0, -0.5, 0.0, 0.25, 1.0, 3.0], np.float32)
+    mn, mx, num, sm, ssq, counts = tb.histo_digest_np(a)
+    assert (mn, mx, num) == (-2.0, 3.0, 6.0)
+    assert abs(sm - a.sum()) < 1e-6 and abs(ssq - (a * a).sum()) < 1e-6
+    assert counts.sum() == 6.0
+
+
+def test_histograms_render_in_stock_tensorboard(tmp_path):
+    """The on-disk histogram events must load through TensorBoard's own
+    event machinery (the reference's train_summary contract,
+    TLSAN/model.py:173-183)."""
+    import numpy as np
+    from tlsan_tpu.train.tensorboard import TBEventWriter, histo_digest_np
+
+    w = TBEventWriter(str(tmp_path))
+    rng = np.random.default_rng(0)
+    histos = {"gamma": histo_digest_np(np.asarray([1.0])),
+              "embedding/1_item_emb": histo_digest_np(rng.normal(size=(50, 8)))}
+    w.add_histograms(3, histos)
+    w.add_scalars(3, {"L2_norm_user_item": 12.5, "Training Loss": 0.7})
+    w.close()
+
+    from tensorboard.backend.event_processing import event_accumulator
+    acc = event_accumulator.EventAccumulator(
+        str(tmp_path), size_guidance={event_accumulator.HISTOGRAMS: 0})
+    acc.Reload()
+    tags = acc.Tags()
+    assert set(tags["histograms"]) == {"gamma", "embedding/1_item_emb"}
+    assert set(tags["scalars"]) == {"L2_norm_user_item", "Training Loss"}
+    h = acc.Histograms("embedding/1_item_emb")[0].histogram_value
+    assert h.num == 400
+    assert len(h.bucket_limit) == len(h.bucket)
+    assert sum(h.bucket) == 400

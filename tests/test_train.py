@@ -96,3 +96,29 @@ def test_resume_continues_step(tiny):
     tc2 = TrainConfig(**{**tc.__dict__, "from_scratch": False})
     tr2 = Trainer(TLSAN, cfg, tc2, cate_list, train, test, use_pallas=False)
     assert tr2.step == saved_step
+
+
+def test_trainer_writes_histogram_summaries(tiny):
+    """A real train run must emit the reference's train_summary set
+    (TLSAN/model.py:173-183) as TensorBoard-loadable histograms + the
+    L2_norm_user_item scalar."""
+    train, test, cate_list, cfg, tc = tiny
+    import dataclasses
+    tc = dataclasses.replace(tc, display_freq=4)
+    trainer = Trainer(TLSAN, cfg, tc, cate_list, train, test, use_pallas=False)
+    trainer.train()
+    trainer.writer.close()
+
+    from tensorboard.backend.event_processing import event_accumulator
+    acc = event_accumulator.EventAccumulator(
+        os.path.join(tc.model_dir, "train"),
+        size_guidance={event_accumulator.HISTOGRAMS: 0})
+    acc.Reload()
+    tags = acc.Tags()
+    expect = {"gamma", "embedding/1_item_emb", "embedding/2_user_emb",
+              "embedding/3_cate_emb", "embedding/4_usert_emb",
+              "attention_output"}
+    assert expect <= set(tags["histograms"]), tags["histograms"]
+    assert "L2_norm_user_item" in set(tags["scalars"])
+    h = acc.Histograms("embedding/1_item_emb")[0].histogram_value
+    assert h.num == 30 * 32  # full table

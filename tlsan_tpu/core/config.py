@@ -138,6 +138,11 @@ class TrainConfig:
     # per step on large catalogs.  False forces the dense optax path.
     sparse_updates: bool = True
 
+    # TensorBoard histogram summaries of the tables / gamma / attention
+    # output at display_freq (the reference's train_summary set,
+    # TLSAN/model.py:173-183), device-side digests
+    tb_histograms: bool = True
+
     # parallelism: data-parallel and model-parallel (table-sharding) axis sizes
     dp: int = 1
     mp: int = 1

@@ -106,6 +106,8 @@ class Trainer:
             use_pallas, mesh=self.mesh, vocab_sharded=tc.mp > 1)
         self.writer = MetricWriter(tc.model_dir)
         self._train_chunk = self._build_train_chunk()
+        self._summary_fn = (self._build_summary_fn()
+                            if tc.tb_histograms else None)
 
     # ------------------------------------------------------------------
 
@@ -182,6 +184,65 @@ class Trainer:
 
         return run
 
+    def _build_summary_fn(self):
+        """Device-side histogram digests of the reference's train-summary
+        set (TLSAN/model.py:173-183): the vocab tables, gamma, the attention
+        output of the current batch, and the L2_norm_user_item scalar.  Only
+        ~6 small (min/max/sum/sumsq/bucket-counts) digests cross the wire,
+        not the tables."""
+        from tlsan_tpu.train import tensorboard as tb
+        model, cfg, cate_list, use_pallas = (
+            self.model, self.cfg, self.cate_list, self.use_pallas)
+        limits = jnp.asarray(tb.tf_bucket_limits(), jnp.float32)
+
+        def digest(x):
+            x = x.astype(jnp.float32).reshape(-1)
+            idx = jnp.searchsorted(limits, x, side="left")
+            counts = jnp.zeros(limits.shape[0], jnp.float32).at[idx].add(1.0)
+            return (jnp.min(x), jnp.max(x), jnp.float32(x.size),
+                    jnp.sum(x), jnp.sum(x * x), counts)
+
+        # reference tag names for TLSAN; generic embedding/<name> otherwise
+        tlsan_tags = {"item_emb": "embedding/1_item_emb",
+                      "user_emb": "embedding/2_user_emb",
+                      "cate_emb": "embedding/3_cate_emb",
+                      "usert_emb": "embedding/4_usert_emb"}
+        tables = [n for n in ("item_emb", "user_emb", "cate_emb", "usert_emb",
+                              "item_b", "short_w", "long_w", "position_w")
+                  if n in self.params]
+        l2_names = [n for n in getattr(model, "l2_full_tables", ())
+                    if n in self.params]
+
+        @jax.jit
+        def summaries(params, batch):
+            out = {}
+            for n in tables:
+                tag = (tlsan_tags.get(n, f"embedding/{n}")
+                       if model.name == "tlsan" else f"embedding/{n}")
+                out[tag] = digest(params[n])
+            if "gamma" in params:
+                out["gamma"] = digest(params["gamma"])
+            u_t = model.user_repr(params, batch, cate_list, cfg, use_pallas)
+            out["attention_output"] = digest(u_t)
+            l2 = sum((0.5 * jnp.sum(jnp.square(params[n])) for n in l2_names),
+                     jnp.float32(0.0))
+            return out, l2
+
+        return summaries
+
+    def _write_train_summaries(self, chunk_idx, loss):
+        batch = {k: v[jnp.asarray(chunk_idx[-1])]
+                 for k, v in self.train_data.items()}
+        ctx = (embedding.vocab_sharded(self.mesh)
+               if self.mesh is not None and self.tc.mp > 1 else nullcontext())
+        with ctx:
+            histos, l2 = self._summary_fn(self.params, batch)
+        histos = {k: tuple(np.asarray(x) for x in v) for k, v in histos.items()}
+        scalars = {"Training Loss": float(loss)}
+        if float(l2) > 0.0:
+            scalars["L2_norm_user_item"] = float(l2)
+        self.writer.write_histograms(self.step, histos, scalars)
+
     def _epoch_index(self, epoch: int) -> np.ndarray:
         """Shuffled [n_chunks, K, B] batch-index tensor; the tail wraps to the
         permutation head so every chunk keeps the static shape (the reference
@@ -256,6 +317,8 @@ class Trainer:
                 if steps_since_display >= tc.display_freq:
                     steps_since_display = 0
                     self.writer.write("train", self.step, {"loss": float(loss)})
+                    if self._summary_fn is not None:
+                        self._write_train_summaries(chunk_idx, loss)
 
                 if steps_since_eval >= tc.eval_freq:
                     steps_since_eval = 0

@@ -59,6 +59,18 @@ class MetricWriter:
                              for k, v in metrics.items())
             print(f"[{kind}] step={step} {body}", flush=True)
 
+    def write_histograms(self, step: int, histos: Dict,
+                         scalars: Optional[Dict[str, float]] = None) -> None:
+        """Histogram summaries (+ companion scalars) to the train event file
+        only — the reference's train_summary set (TLSAN/model.py:173-183);
+        digests per tensorboard.TBEventWriter.add_histograms."""
+        tb = self._tb_writer("train")
+        if tb is None:
+            return
+        tb.add_histograms(step, histos)
+        if scalars:
+            tb.add_scalars(step, scalars)
+
     def close(self) -> None:
         self._f.close()
         for tb in self._tb.values():

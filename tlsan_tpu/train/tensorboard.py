@@ -95,6 +95,83 @@ def encode_scalar_event(step: int, wall_time: float,
     return ev
 
 
+_BUCKET_LIMITS = None
+
+
+def tf_bucket_limits():
+    """TF's default histogram bucket grid (histogram.cc): ±1e-12 · 1.1^k,
+    ascending, with a huge final catch-all edge.  Zero lands in the
+    (-1e-12, 1e-12] bucket."""
+    global _BUCKET_LIMITS
+    if _BUCKET_LIMITS is None:
+        import numpy as np
+        pos = []
+        v = 1e-12
+        while v < 1e20:
+            pos.append(v)
+            v *= 1.1
+        pos.append(1.7976931348623157e308)
+        _BUCKET_LIMITS = np.asarray(
+            [-x for x in reversed(pos)] + pos, dtype=np.float64)
+    return _BUCKET_LIMITS
+
+
+def histo_digest_np(arr):
+    """(min, max, num, sum, sum_squares, counts) over tf_bucket_limits —
+    the host-side reference for the device-side digest in train/loop.py."""
+    import numpy as np
+    a = np.asarray(arr, dtype=np.float64).reshape(-1)
+    limits = tf_bucket_limits()
+    # bucket i holds values in (limits[i-1], limits[i]]
+    idx = np.searchsorted(limits, a, side="left")
+    counts = np.bincount(idx, minlength=len(limits)).astype(np.float64)
+    return (float(a.min()), float(a.max()), float(a.size), float(a.sum()),
+            float((a * a).sum()), counts[: len(limits)])
+
+
+def _packed_doubles(field: int, values) -> bytes:
+    payload = b"".join(struct.pack("<d", float(v)) for v in values)
+    return _len_delimited(field, payload)
+
+
+def encode_histo_value(tag_name: str, digest) -> bytes:
+    """Summary.Value{tag=1, histo=4: HistogramProto} from a digest tuple.
+
+    Consecutive empty buckets are collapsed (one zero-count bucket kept as
+    separator), matching tf.summary.histogram's on-disk shape
+    (reference train summaries: TLSAN/model.py:173-183)."""
+    mn, mx, num, sm, ssq, counts = digest
+    limits = tf_bucket_limits()
+    keep_l, keep_c = [], []
+    for i, c in enumerate(counts):
+        nxt = counts[i + 1] if i + 1 < len(counts) else 0.0
+        if c > 0 or nxt > 0:
+            keep_l.append(float(limits[i]))
+            keep_c.append(float(c))
+    if not keep_l:  # empty tensor: one empty bucket keeps TB happy
+        keep_l, keep_c = [float(limits[0])], [0.0]
+    histo = (_tag(1, 1) + struct.pack("<d", mn)
+             + _tag(2, 1) + struct.pack("<d", mx)
+             + _tag(3, 1) + struct.pack("<d", num)
+             + _tag(4, 1) + struct.pack("<d", sm)
+             + _tag(5, 1) + struct.pack("<d", ssq)
+             + _packed_doubles(6, keep_l)
+             + _packed_doubles(7, keep_c))
+    # Summary.Value: tag = field 1, histo (HistogramProto) = field 5
+    return (_len_delimited(1, tag_name.encode("utf-8"))
+            + _len_delimited(5, histo))
+
+
+def encode_histo_event(step: int, wall_time: float, histos: Dict) -> bytes:
+    summary = b"".join(_len_delimited(1, encode_histo_value(k, d))
+                       for k, d in histos.items())
+    ev = _tag(1, 1) + struct.pack("<d", wall_time)
+    if step:
+        ev += _tag(2, 0) + _varint(step)
+    ev += _len_delimited(5, summary)
+    return ev
+
+
 def encode_file_version(wall_time: float) -> bytes:
     # Event{wall_time=1, file_version=3 = "brain.Event:2"}
     return (_tag(1, 1) + struct.pack("<d", wall_time)
@@ -211,6 +288,17 @@ class TBEventWriter:
         if not clean:
             return
         ev = encode_scalar_event(step, wall_time or time.time(), clean)
+        self._f.write(frame_record(ev))
+        self._f.flush()
+
+    def add_histograms(self, step: int, histos: Dict,
+                       wall_time: Optional[float] = None) -> None:
+        """histos: {tag: digest} with digest =
+        (min, max, num, sum, sum_squares, counts-over-tf_bucket_limits) —
+        see histo_digest_np / the device-side digest in train/loop.py."""
+        if not histos:
+            return
+        ev = encode_histo_event(step, wall_time or time.time(), histos)
         self._f.write(frame_record(ev))
         self._f.flush()
 
