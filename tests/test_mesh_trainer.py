@@ -104,3 +104,42 @@ def test_mesh_trainer_padded_tables_shapes(tmp_path):
     assert tr.params["item_emb"].shape[0] == tr.cfg.item_count
     # padded rows are zero
     assert float(np.abs(np.asarray(tr.params["item_emb"])[29:]).sum()) == 0.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_cross_topology_checkpoint_roundtrip(tmp_path):
+    """mp=1 → mp=2 → mp=1 restore chain: checkpoints are written in
+    canonical unpadded form, so params and the resumed step survive
+    topology changes bit-exactly."""
+    train, test, cate_list = synthetic(n=128, users=21, items=29, cates=5)
+    cfg = ModelConfig(model="tlsan", user_count=21, item_count=29,
+                      cate_count=5, Ls=10, Ts=8)
+    base = dict(max_epochs=1, train_batch_size=32, test_batch_size=64,
+                steps_per_call=2, eval_freq=10**9, best_after_step=0,
+                sparse_updates=False)
+    d = str(tmp_path / "run")
+
+    tr1 = Trainer(TLSAN, cfg, TrainConfig(model_dir=d, **base),
+                  cate_list, train, test, use_pallas=False)
+    tr1.train()
+    p1 = jax.tree_util.tree_map(np.asarray, tr1._ckpt_params())
+    step1 = tr1.step
+
+    tr2 = Trainer(TLSAN, cfg,
+                  TrainConfig(model_dir=d, from_scratch=False, dp=4, mp=2,
+                              **base),
+                  cate_list, train, test, use_pallas=False)
+    assert tr2.step == step1
+    p2 = jax.tree_util.tree_map(np.asarray, tr2._ckpt_params())
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p1, p2)
+    # padded rows exist on the mesh run and are zero
+    assert tr2.params["item_emb"].shape[0] == 30
+    tr2.train()
+
+    tr3 = Trainer(TLSAN, cfg,
+                  TrainConfig(model_dir=d, from_scratch=False, **base),
+                  cate_list, train, test, use_pallas=False)
+    assert tr3.step == tr2.step
+    p2b = jax.tree_util.tree_map(np.asarray, tr2._ckpt_params())
+    p3 = jax.tree_util.tree_map(np.asarray, tr3._ckpt_params())
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p2b, p3)

@@ -75,6 +75,28 @@ def pad_vocab_rows(params, counts_true, counts_padded):
     return jax.tree_util.tree_map_with_path(fix, params)
 
 
+def unpad_vocab_rows(tree, counts_true):
+    """Inverse of pad_vocab_rows: slice every vocab-named leaf (params OR
+    optimizer-moment trees — matched by leaf name) back to its TRUE row
+    count.  Checkpoints are always written in this canonical unpadded form,
+    so a single-device checkpoint restores into an mp>1 run and vice versa
+    (cross-topology restore)."""
+    tu, ti, tc = counts_true
+    true_of = {"item_emb": ti, "item_b": ti, "user_emb": tu,
+               "usert_emb": tu, "cate_emb": tc,
+               "short_w": ti, "long_w": tu}
+
+    def fix(path, leaf):
+        name = str(getattr(path[-1], "key", ""))
+        if name in true_of and hasattr(leaf, "shape") and leaf.ndim >= 1:
+            n = true_of[name]
+            if leaf.shape[0] > n:
+                return leaf[:n]
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, tree)
+
+
 def shard_train_state(mesh, params, opt_state, vocab_sharded: bool = True):
     """Place params/opt_state on the mesh: tables row-sharded over mp, dense
     weights replicated; opt_state mirrors params leaf-for-leaf."""

@@ -75,26 +75,29 @@ class Trainer:
         self.train_data = {k: jnp.asarray(v) for k, v in train_batches.arrays.items()}
         self.n_train = train_batches.n
 
-        # restore-or-init (reference: TLSAN/train.py:59-84).  Init at the
-        # TRUE vocab shapes then zero-pad rows, so a sharded run draws the
-        # exact same parameters as the single-device run.
+        # restore-or-init (reference: TLSAN/train.py:59-84).  Init AND
+        # restore at the TRUE vocab shapes — checkpoints are canonically
+        # unpadded, so they round-trip across topologies (mp=1 ↔ mp>1) —
+        # then zero-pad rows, so a sharded run draws the exact same
+        # parameters as the single-device run.
         ckpt.maybe_wipe(tc.model_dir, tc.from_scratch)
         import dataclasses
         cfg_true = dataclasses.replace(
             cfg, user_count=counts_true[0], item_count=counts_true[1],
-            cate_count=counts_true[2])
+            cate_count=counts_true[2], catalog_items=0)
+        self._cfg_true, self._counts_true = cfg_true, counts_true
         params = model.init_params(jax.random.PRNGKey(tc.seed), cfg_true)
-        if tc.mp > 1:
-            from tlsan_tpu.parallel.api import pad_vocab_rows
-            params = pad_vocab_rows(
-                params, counts_true,
-                (cfg.user_count, cfg.item_count, cfg.cate_count))
         opt_state = self.opt.init(params)
         self.step = 0
         latest = ckpt.latest_checkpoint(tc.model_dir)
         if latest is not None:
             self.step, params, opt_state = ckpt.restore(latest, params, opt_state)
             print(f"restored from {latest} at step {self.step}", flush=True)
+        if tc.mp > 1:
+            from tlsan_tpu.parallel.api import pad_vocab_rows
+            counts_padded = (cfg.user_count, cfg.item_count, cfg.cate_count)
+            params = pad_vocab_rows(params, counts_true, counts_padded)
+            opt_state = pad_vocab_rows(opt_state, counts_true, counts_padded)
         if self.mesh is not None:
             from tlsan_tpu.parallel.api import shard_train_state
             params, opt_state = shard_train_state(
@@ -263,14 +266,26 @@ class Trainer:
         metrics.update(self.evaluator.topk(self.params))
         return metrics
 
+    def _ckpt_params(self):
+        """Params to persist: canonically UNPADDED (true vocab rows), so a
+        checkpoint written under any (dp, mp) restores under any other."""
+        if self.tc.mp > 1:
+            from tlsan_tpu.parallel.api import unpad_vocab_rows
+            return unpad_vocab_rows(self.params, self._counts_true)
+        return self.params
+
     def _ckpt_opt_state(self):
-        """Optimizer state to persist: the sparse-SGD path keeps no live
-        optax state, so rebuild one with schedule counters = step (restores
-        seamlessly into the dense path and vice versa)."""
+        """Optimizer state to persist: unpadded like params; the sparse-SGD
+        path keeps no live optax state, so rebuild one with schedule
+        counters = step (restores seamlessly into the dense path and vice
+        versa)."""
         if getattr(self, "_use_sparse", False):
             from tlsan_tpu.train import sparse as sparse_mod
             return sparse_mod.opt_state_with_count(
-                self.opt, self.params, self.step)
+                self.opt, self._ckpt_params(), self.step)
+        if self.tc.mp > 1:
+            from tlsan_tpu.parallel.api import unpad_vocab_rows
+            return unpad_vocab_rows(self.opt_state, self._counts_true)
         return self.opt_state
 
     def profile_trace(self, n_chunks: int = 3, out_dir: Optional[str] = None):
@@ -329,8 +344,9 @@ class Trainer:
                         best = {**metrics, "step": self.step}
                         if metrics["auc"] > tc.save_auc_gate:
                             ckpt.save(tc.model_dir, self.model.name, self.step,
-                                      self.params, self._ckpt_opt_state(),
-                                      self.cfg, tc, best=True)
+                                      self._ckpt_params(),
+                                      self._ckpt_opt_state(),
+                                      self._cfg_true, tc, best=True)
             dt = time.time() - t_epoch
             epoch_examples = examples_seen - examples_at_epoch_start
             self.writer.write("epoch", self.step, {
@@ -347,5 +363,6 @@ class Trainer:
         if final["auc"] > best["auc"]:
             best = {**final, "step": self.step}
         ckpt.save(tc.model_dir, self.model.name, self.step,
-                  self.params, self._ckpt_opt_state(), self.cfg, tc)
+                  self._ckpt_params(), self._ckpt_opt_state(),
+                  self._cfg_true, tc)
         return best

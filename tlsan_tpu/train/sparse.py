@@ -142,7 +142,11 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
         return model.loss(sub_params, batch, local_cate, cfg, use_pallas)
 
     def step(carry, ib):
-        params, q, step_no, rng = carry
+        # scale: lazy L2-decay factor per full-L2 table — the stored array W
+        # relates to the true table as T = scale·W, so the per-step decay is
+        # O(1) instead of an O(V·D) multiply pass; folded back once per
+        # chunk.  q tracks ‖T‖² (true values) for the global-norm clip.
+        params, scale, q, step_no, rng = carry
         batch = {k: v[ib] for k, v in data.items()}
         if use_dropout:
             rng, sub = jax.random.split(rng)
@@ -154,6 +158,9 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
         local_cate = cate_list
         for sp in spaces:
             uids, rows, remapped = gather_space(params, batch, sp)
+            for t in sp.tables:
+                if t in decay_names:  # rescale to TRUE row values
+                    rows[t] = rows[t] * scale[t]
             uids_by_space.append(uids)
             rows_all.update(rows)
             sub_params.update(rows)
@@ -183,18 +190,21 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
             if name not in sparse_names:
                 new_params[name] = jax.tree_util.tree_map(
                     lambda p, gg: p - a * gg, params[name], g)
-        # sparsified tables: one fused decay pass (full-L2 tables only) +
-        # touched-row scatter correction; sentinel slots carry zero deltas
-        # and OOB scatter indices are dropped
-        new_q = {}
+        # sparsified tables: the untouched-row L2 decay folds into `scale`
+        # (T' = d·T + scatter(δ) = scale'·(W + scatter(δ/scale'))); only the
+        # touched rows are written.  Sentinel slots carry zero deltas and
+        # OOB scatter indices are dropped.
+        new_q, new_scale = {}, {}
         for sp, uids in zip(spaces, uids_by_space):
             for t in sp.tables:
                 g_rows, r_rows = grads[t], rows_all[t]
                 if t in decay_names:
                     d = 1.0 - a * rr
-                    decayed = params[t] * d
+                    s_new = scale[t] * d
                     delta = a * rr * r_rows - a * g_rows
-                    new_params[t] = decayed.at[uids].add(delta, mode="drop")
+                    new_params[t] = params[t].at[uids].add(
+                        delta / s_new, mode="drop")
+                    new_scale[t] = s_new
                     new_q[t] = (d * d * untouched_sq[t]
                                 + _sq(r_rows - a * g_rows))
                 else:
@@ -203,17 +213,22 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
         # reported loss: add back the L2 mass of untouched rows the row-L2
         # can't see, for display parity with the dense path
         loss = loss + 0.5 * rr * sum(untouched_sq[t] for t in decay_names)
-        return (new_params, new_q, step_no + 1, rng), loss
+        return (new_params, new_scale, new_q, step_no + 1, rng), loss
 
     from functools import partial
 
     @partial(jax.jit, donate_argnums=(0,))
     def chunk(params, step0, idx, rng):
         # q = ‖T‖² per decaying table; ONE dense read per fused chunk keeps
-        # the in-scan recurrence drift bounded to steps_per_call steps
+        # the in-scan recurrence drift bounded to steps_per_call steps.
+        # scale starts at 1 and the accumulated decay is folded back into
+        # the stored tables with ONE multiply pass after the scan.
         q0 = {t: _sq(params[t]) for t in decay_names}
-        (params, _, _, rng), losses = jax.lax.scan(
-            step, (params, q0, step0, rng), idx)
+        s0 = {t: jnp.float32(1.0) for t in decay_names}
+        (params, scale, _, _, rng), losses = jax.lax.scan(
+            step, (params, s0, q0, step0, rng), idx)
+        for t in decay_names:
+            params[t] = params[t] * scale[t]
         return params, rng, jnp.mean(losses)
 
     return chunk
