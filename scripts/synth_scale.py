@@ -58,7 +58,8 @@ def main():
     p.add_argument("--cates", type=int, default=673)
     p.add_argument("--mean_reviews", type=int, default=14)
     p.add_argument("--epochs", type=int, default=1)
-    p.add_argument("--no_sparse", dest="sparse", action="store_false", default=True)
+    p.add_argument("--sparse", dest="sparse", action="store_true", default=None)
+    p.add_argument("--no_sparse", dest="sparse", action="store_false")
     args = p.parse_args()
 
     t0 = time.perf_counter()

@@ -134,9 +134,16 @@ class TrainConfig:
     steps_per_call: int = 100
 
     # touched-row (sparse) vocab-table updates for optimizer='sgd' on a
-    # single device (train/sparse.py); exact vs the dense step, ~O(V) faster
-    # per step on large catalogs.  False forces the dense optax path.
-    sparse_updates: bool = True
+    # single device (train/sparse.py); exact vs the dense step.  Measured
+    # on-chip (RESULTS.md round-2 study): the dense XLA step wins below
+    # ~100k total vocab rows (every reference dataset), the sparse step
+    # wins above (sub-linear in vocab vs linear; ~40x at 2M rows).
+    # None = auto by catalog size; True/False force.
+    sparse_updates: Optional[bool] = None
+
+    # auto threshold: total vocab rows (items + users) above which the
+    # sparse path engages when sparse_updates is None
+    sparse_auto_rows: int = 100_000
 
     # TensorBoard histogram summaries of the tables / gamma / attention
     # output at display_freq (the reference's train_summary set,

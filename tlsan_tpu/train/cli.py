@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -34,9 +34,35 @@ from tlsan_tpu.train.loop import Trainer
 
 
 
-def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234
+def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234,
+            use_cache: Optional[bool] = None
             ) -> Tuple[Batches, Batches, np.ndarray, ModelConfig]:
-    """Build + pack the example set for one model family."""
+    """Build + pack the example set for one model family.
+
+    Packed arrays are cached on disk (data/cache.py — the framework's
+    ``dataset.pkl``, reference: TLSAN/build_dataset.py:80-84), keyed by the
+    builder-code fingerprint + pickle identity + model/seed/shape config;
+    a second start on the same category skips the build entirely.  Opt out
+    with use_cache=False or TLSAN_DATA_CACHE=0.
+    """
+    from tlsan_tpu.data import cache as dcache
+    if use_cache is None:
+        use_cache = os.environ.get("TLSAN_DATA_CACHE", "") != "0"
+    cpath = None
+    if use_cache:
+        cpath = dcache.cache_path(model_name, data_path, cfg, seed)
+        hit = dcache.load(cpath)
+        if hit is not None:
+            return hit
+    out = _prepare_uncached(model_name, data_path, cfg, seed)
+    if cpath is not None:
+        dcache.store(cpath, out[0], out[1], out[2], out[3])
+    return out
+
+
+def _prepare_uncached(model_name: str, data_path: str, cfg: ModelConfig,
+                      seed: int = 1234
+                      ) -> Tuple[Batches, Batches, np.ndarray, ModelConfig]:
     reviews_df, meta_df, cate_list, counts = load_category(data_path)
     cfg = cfg.with_counts(counts)
 
@@ -199,15 +225,28 @@ def main(argv=None):
                    default=False)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false",
                    help="(default) use the XLA attention path")
-    p.add_argument("--no_sparse", dest="sparse_updates", action="store_false",
+    p.add_argument("--no_data_cache", dest="data_cache", action="store_false",
                    default=True,
-                   help="force dense [V,D] table updates (default: sparse "
-                        "touched-row updates for sgd on a single device)")
+                   help="rebuild+repack the example set instead of using the "
+                        "packed-dataset cache (data/cache.py)")
+    p.add_argument("--sparse", dest="sparse_updates", action="store_true",
+                   default=None,
+                   help="force sparse touched-row table updates (default: "
+                        "auto by catalog size — dense XLA wins below ~100k "
+                        "vocab rows, sparse above; RESULTS.md study)")
+    p.add_argument("--no_sparse", dest="sparse_updates", action="store_false",
+                   help="force dense [V,D] table updates")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few train chunks "
                         "before training")
     p.add_argument("--from_scratch", action="store_true", default=True)
     p.add_argument("--resume", dest="from_scratch", action="store_false")
+    p.add_argument("--platform", default=None, choices=["cpu", "default"],
+                   help="force the JAX platform; NOTE: this image's "
+                        "sitecustomize registers the axon TPU plugin and "
+                        "programmatically sets jax_platforms, so the "
+                        "JAX_PLATFORMS env var alone is IGNORED — use "
+                        "--platform cpu for a genuine host-CPU run")
     p.add_argument("--compile_cache",
                    default=os.environ.get("TLSAN_COMPILE_CACHE",
                                           os.path.expanduser("~/.cache/tlsan_jax")),
@@ -215,6 +254,9 @@ def main(argv=None):
                         "repeat runs skip the 20-40s first-compile")
     args = p.parse_args(argv)
 
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.compile_cache:
         import jax
         jax.config.update("jax_compilation_cache_dir", args.compile_cache)
@@ -274,7 +316,8 @@ def main(argv=None):
     )
 
     data_path = os.path.join(args.data_dir, f"{args.dataset}.pkl")
-    train_b, test_b, cate_list, cfg = prepare(args.model, data_path, cfg, args.seed)
+    train_b, test_b, cate_list, cfg = prepare(
+        args.model, data_path, cfg, args.seed, use_cache=args.data_cache)
     print(f"model={args.model} dataset={args.dataset} "
           f"train={train_b.n} test={test_b.n} "
           f"users={cfg.user_count} items={cfg.item_count} cates={cfg.cate_count}",

@@ -124,9 +124,14 @@ class Trainer:
         # the reference's IndexedSlices behavior, TPU-native
         from tlsan_tpu.train import sparse as sparse_mod
         from tlsan_tpu.train.state import lr_schedule
+        want_sparse = self.tc.sparse_updates
+        if want_sparse is None:  # auto: by total vocab rows (measured
+            # crossover ~100k rows on v5e — RESULTS.md round-2 study)
+            rows = self.cfg.item_count + self.cfg.user_count
+            want_sparse = rows >= self.tc.sparse_auto_rows
         self._use_sparse = (
             self.tc.optimizer == "sgd" and mesh is None
-            and self.tc.sparse_updates
+            and want_sparse
             and sparse_mod.sparsifiable(self.params, data))
         if self._use_sparse:
             chunk = sparse_mod.make_sparse_chunk(
