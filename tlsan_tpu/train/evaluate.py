@@ -31,12 +31,20 @@ TOPK_KS = (1, 10, 20, 30, 40, 50)
 def _device_data(batches: Batches, batch_size: int, mesh=None) -> Tuple[Dict, int]:
     padded = pad_to_multiple(batches, batch_size)
     n_batches = padded.n // batch_size
+    multiproc = jax.process_count() > 1
     data = {}
     for k, v in padded.arrays.items():
         v = v.reshape((n_batches, batch_size) + v.shape[1:])
         if mesh is not None:  # per-batch rows sharded over dp
             sh = NamedSharding(mesh, P(None, "dp", *([None] * (v.ndim - 2))))
-            data[k] = jax.device_put(jnp.asarray(v), sh)
+            if multiproc:
+                # each host contributes only its local dp rows
+                from tlsan_tpu.parallel.multihost import local_batch_slice
+                sl = local_batch_slice(batch_size)
+                data[k] = jax.make_array_from_process_local_data(
+                    sh, np.asarray(v[:, sl]))
+            else:
+                data[k] = jax.device_put(jnp.asarray(v), sh)
         else:
             data[k] = jnp.asarray(v)
     return data, n_batches

@@ -36,6 +36,19 @@ from tlsan_tpu.train.metrics import MetricWriter
 from tlsan_tpu.train.state import make_optimizer
 
 
+class _NullWriter:
+    """Non-host-0 ranks: metric/checkpoint output is host 0's job."""
+
+    def write(self, *a, **k):
+        pass
+
+    def write_histograms(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 class Trainer:
     def __init__(
         self,
@@ -71,8 +84,27 @@ class Trainer:
             cfg = pad_config_for_mp(cfg, tc.mp)
             cate_list = pad_cate_list(cate_list, cfg)
         self.cfg = cfg
+        # multi-process (multi-host) mode: one Trainer per controller
+        # process over a global (dp, mp) mesh; each host FEEDS only its
+        # local dp shard of every batch (parallel/multihost.py), and only
+        # host 0 writes checkpoints/metrics.
+        self.n_proc = jax.process_count()
+        if self.n_proc > 1:
+            assert self.mesh is not None, (
+                "multi-process training requires a (dp, mp) mesh "
+                "(set tc.dp/tc.mp)")
+            assert tc.dp % self.n_proc == 0, (
+                f"dp={tc.dp} must divide over {self.n_proc} processes")
+        self.is_host0 = jax.process_index() == 0
         self.cate_list = jnp.asarray(cate_list)
-        self.train_data = {k: jnp.asarray(v) for k, v in train_batches.arrays.items()}
+        if self.n_proc > 1:
+            # dataset stays HOST-resident; batches are assembled per chunk
+            # from each host's local rows (see _build_train_chunk_multihost)
+            self.train_data = {k: np.asarray(v)
+                               for k, v in train_batches.arrays.items()}
+        else:
+            self.train_data = {k: jnp.asarray(v)
+                               for k, v in train_batches.arrays.items()}
         self.n_train = train_batches.n
 
         # restore-or-init (reference: TLSAN/train.py:59-84).  Init AND
@@ -80,7 +112,11 @@ class Trainer:
         # unpadded, so they round-trip across topologies (mp=1 ↔ mp>1) —
         # then zero-pad rows, so a sharded run draws the exact same
         # parameters as the single-device run.
-        ckpt.maybe_wipe(tc.model_dir, tc.from_scratch)
+        if self.is_host0:
+            ckpt.maybe_wipe(tc.model_dir, tc.from_scratch)
+        if self.n_proc > 1:  # no host may restore before host 0 wipes
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("tlsan:model_dir_ready")
         import dataclasses
         cfg_true = dataclasses.replace(
             cfg, user_count=counts_true[0], item_count=counts_true[1],
@@ -107,7 +143,11 @@ class Trainer:
         self.evaluator = Evaluator(
             model, cfg, self.cate_list, test_batches, tc.test_batch_size,
             use_pallas, mesh=self.mesh, vocab_sharded=tc.mp > 1)
-        self.writer = MetricWriter(tc.model_dir)
+        # host 0 owns all on-disk output (checkpoints, metrics, events);
+        # other ranks still run every jitted computation (global arrays
+        # require all processes to participate) but write nothing
+        self.writer = (MetricWriter(tc.model_dir) if self.is_host0
+                       else _NullWriter())
         self._train_chunk = self._build_train_chunk()
         self._summary_fn = (self._build_summary_fn()
                             if tc.tb_histograms else None)
@@ -146,6 +186,9 @@ class Trainer:
                 return params, opt_state, loss
 
             return run_sparse
+
+        if self.n_proc > 1:
+            return self._build_train_chunk_multihost()
 
         def constrain(batch):
             """Shard each gathered batch over dp (dataset stays replicated)."""
@@ -191,6 +234,85 @@ class Trainer:
             return params, opt_state, loss
 
         return run
+
+    def _build_train_chunk_multihost(self):
+        """Multi-process train chunk: the dataset is host-resident and each
+        host feeds ONLY its local dp shard of every batch
+        (parallel/multihost.local_batch_slice); the per-host slices are
+        assembled into global dp-sharded arrays and the jitted scan runs
+        over them on the global mesh."""
+        model, cfg, cate_list = self.model, self.cfg, self.cate_list
+        opt, use_pallas = self.opt, self.use_pallas
+        use_dropout = cfg.dropout > 0.0
+        self._dropout_rng = jax.random.PRNGKey(self.tc.seed + 1)
+
+        def loss_fn(params, batch):
+            return model.loss(params, batch, cate_list, cfg, use_pallas)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_chunk(params, opt_state, batches, rng):
+            def step(carry, batch):
+                params, opt_state, rng = carry
+                if use_dropout:
+                    rng, sub = jax.random.split(rng)
+                    batch = dict(batch, dropout_rng=sub)
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                step, (params, opt_state, rng), batches)
+            return params, opt_state, rng, jnp.mean(losses)
+
+        def run(params, opt_state, idx):
+            from jax.sharding import PartitionSpec as P
+            batches = self._global_batches(np.asarray(idx))
+            # the rng must be a GLOBAL (replicated) array in multi-process
+            # jit; it is identical on every rank by construction
+            rng = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, P()), np.asarray(self._dropout_rng))
+            ctx = (embedding.vocab_sharded(self.mesh)
+                   if self.tc.mp > 1 else nullcontext())
+            with ctx:
+                params, opt_state, self._dropout_rng, loss = train_chunk(
+                    params, opt_state, batches, rng)
+            return params, opt_state, loss
+
+        return run
+
+    def _global_batches(self, idx: np.ndarray) -> Dict:
+        """[K, B] global batch-index matrix → dict of [K, B, ...] global
+        dp-sharded device arrays, this host contributing only its
+        local_batch_slice rows."""
+        from jax.sharding import PartitionSpec as P
+        from tlsan_tpu.parallel.mesh import DP_AXIS
+        from tlsan_tpu.parallel.multihost import local_batch_slice
+        sl = local_batch_slice(idx.shape[1])
+        local_idx = idx[:, sl]
+        out = {}
+        for k, v in self.train_data.items():
+            local = v[local_idx]  # [K, B_local, ...]
+            spec = P(None, DP_AXIS, *([None] * (local.ndim - 2)))
+            out[k] = jax.make_array_from_process_local_data(
+                NamedSharding(self.mesh, spec), local)
+        return out
+
+    def _save(self, best: bool = False):
+        params, opt_state = self._ckpt_params(), self._ckpt_opt_state()
+        if self.n_proc > 1:
+            # materialize full (host-local) values on every rank — the
+            # conversion is a collective, so all ranks run it; only host 0
+            # then writes
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+            params, opt_state = jax.tree_util.tree_map(
+                lambda x: multihost_utils.global_array_to_host_local_array(
+                    x, self.mesh, P()),
+                (params, opt_state))
+        if self.is_host0:
+            ckpt.save(self.tc.model_dir, self.model.name, self.step,
+                      params, opt_state, self._cfg_true, self.tc, best=best)
 
     def _build_summary_fn(self):
         """Device-side histogram digests of the reference's train-summary
@@ -239,8 +361,12 @@ class Trainer:
         return summaries
 
     def _write_train_summaries(self, chunk_idx, loss):
-        batch = {k: v[jnp.asarray(chunk_idx[-1])]
-                 for k, v in self.train_data.items()}
+        if self.n_proc > 1:
+            gb = self._global_batches(np.asarray(chunk_idx[-1:]))
+            batch = {k: v[0] for k, v in gb.items()}
+        else:
+            batch = {k: v[jnp.asarray(chunk_idx[-1])]
+                     for k, v in self.train_data.items()}
         ctx = (embedding.vocab_sharded(self.mesh)
                if self.mesh is not None and self.tc.mp > 1 else nullcontext())
         with ctx:
@@ -348,10 +474,7 @@ class Trainer:
                     if self.step > tc.best_after_step and metrics["auc"] > best["auc"]:
                         best = {**metrics, "step": self.step}
                         if metrics["auc"] > tc.save_auc_gate:
-                            ckpt.save(tc.model_dir, self.model.name, self.step,
-                                      self._ckpt_params(),
-                                      self._ckpt_opt_state(),
-                                      self._cfg_true, tc, best=True)
+                            self._save(best=True)
             dt = time.time() - t_epoch
             epoch_examples = examples_seen - examples_at_epoch_start
             self.writer.write("epoch", self.step, {
@@ -367,7 +490,5 @@ class Trainer:
         self.writer.write("final", self.step, final)
         if final["auc"] > best["auc"]:
             best = {**final, "step": self.step}
-        ckpt.save(tc.model_dir, self.model.name, self.step,
-                  self._ckpt_params(), self._ckpt_opt_state(),
-                  self._cfg_true, tc)
+        self._save()
         return best
