@@ -24,29 +24,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, x, reps=64, chain=None):
-    """Per-iteration time with `reps` iterations fused into ONE dispatch.
+def timeit(fn, x, reps=64, chain=None, ident=None):
+    """Per-iteration time with `reps` iterations fused into ONE dispatch,
+    CORRECTED for the chaining overhead.
 
     The axon tunnel adds ~0.6 ms per dispatch — timing individual jitted
     calls measures the RPC, not the kernel.  A lax.scan chains `reps`
     data-dependent iterations inside one jit; `chain(x, out)` must produce
     the next x from the output so XLA cannot elide or overlap iterations.
-    """
-    @jax.jit
-    def many(x):
-        def body(c, _):
-            return chain(c, fn(c)), None
-        c, _ = jax.lax.scan(body, x, None, length=reps)
-        return c
 
-    out = many(x)
-    jax.block_until_ready(out)  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(many(x))
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+    The chain itself moves a full x worth of HBM traffic per iteration —
+    comparable to the op's own traffic at these shapes — so a second scan
+    with `ident` (an out-shaped cheap slice of x) in place of the op
+    measures the chain-only floor, which is subtracted.  (Round-1 numbers
+    lacked this correction and understated SoL fractions ~2-3×.)
+    """
+    def make(f):
+        @jax.jit
+        def many(x):
+            def body(c, _):
+                return chain(c, f(c)), None
+            c, _ = jax.lax.scan(body, x, None, length=reps)
+            return c
+        return many
+
+    def run(many):
+        out = many(x)
+        jax.block_until_ready(out)  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(many(x))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
+    dt = run(make(fn))
+    dt_chain = run(make(ident)) if ident is not None else 0.0
+    return max(dt - dt_chain, 1e-9), dt
 
 
 def bench_fwa(B, S, D, H, sol_gbps):
@@ -76,13 +90,17 @@ def bench_fwa(B, S, D, H, sol_gbps):
     # fwd chains out [B,D] back into x [B,S,D]; bwd's grad is x-shaped
     chain_f = lambda c, out: c * 0.5 + 1e-3 * out[:, None, :]
     chain_g = lambda c, g: c * 0.5 + 1e-3 * g
+    ident_f = lambda c: c[:, 0, :]      # out-shaped, negligible traffic
+    ident_g = lambda c: c * 1.0
     rows = []
-    for tag, fn, byt, ch in (("fwa.fwd.pallas", pallas_f, bytes_fwd, chain_f),
-                             ("fwa.fwd.jnp", jnp_f, bytes_fwd, chain_f),
-                             ("fwa.bwd.pallas", pallas_g, 3 * bytes_fwd, chain_g),
-                             ("fwa.bwd.jnp", jnp_g, 3 * bytes_fwd, chain_g)):
-        dt = timeit(fn, x, chain=ch)
+    for tag, fn, byt, ch, idf in (
+            ("fwa.fwd.pallas", pallas_f, bytes_fwd, chain_f, ident_f),
+            ("fwa.fwd.jnp", jnp_f, bytes_fwd, chain_f, ident_f),
+            ("fwa.bwd.pallas", pallas_g, 3 * bytes_fwd, chain_g, ident_g),
+            ("fwa.bwd.jnp", jnp_g, 3 * bytes_fwd, chain_g, ident_g)):
+        dt, raw = timeit(fn, x, chain=ch, ident=idf)
         rows.append({"kernel": tag, "B": B, "S": S, "D": D, "us": dt * 1e6,
+                     "raw_us": raw * 1e6,
                      "gbps": byt / dt / 1e9,
                      "sol_frac": byt / dt / 1e9 / sol_gbps})
     return rows
@@ -111,13 +129,15 @@ def bench_mha(B, T, D, H, sol_gbps):
 
     bytes_fwd = 4 * (B * T * D * 2 + 3 * D * D)
     chain = lambda c, out: c * 0.5 + 1e-3 * out  # out/grad are q-shaped
+    ident = lambda c: c * 1.0
     rows = []
     for tag, fn, byt in (("mha.fwd.pallas", pallas_f, bytes_fwd),
                          ("mha.fwd.jnp", jnp_f, bytes_fwd),
                          ("mha.bwd.pallas", pallas_g, 3 * bytes_fwd),
                          ("mha.bwd.jnp", jnp_g, 3 * bytes_fwd)):
-        dt = timeit(fn, q, chain=chain)
+        dt, raw = timeit(fn, q, chain=chain, ident=ident)
         rows.append({"kernel": tag, "B": B, "T": T, "D": D, "us": dt * 1e6,
+                     "raw_us": raw * 1e6,
                      "gbps": byt / dt / 1e9,
                      "sol_frac": byt / dt / 1e9 / sol_gbps})
     return rows
@@ -132,13 +152,14 @@ def main():
 
     print(f"backend={jax.default_backend()}", flush=True)
     rows = []
-    # TLSAN long-term window at train batch and at saturated batch
-    rows += bench_fwa(32, 10, 64, 8, args.sol_gbps)
-    rows += bench_fwa(args.big_batch, 10, 64, 8, args.sol_gbps)
+    # TLSAN long-term window: train batch and the large-batch mode sweep
+    # (VERDICT r1 #4: B in {512, 2048, 8192}, fwd+bwd)
+    for b in (32, 512, 2048, args.big_batch):
+        rows += bench_fwa(b, 10, 64, 8, args.sol_gbps)
     rows += bench_fwa(args.big_batch, 90, 64, 8, args.sol_gbps)
     # ATRank self-attention over the behavior sequence
-    rows += bench_mha(32, 90, 64, 8, args.sol_gbps)
-    rows += bench_mha(1024, 90, 64, 8, args.sol_gbps)
+    for b in (32, 512, 2048):
+        rows += bench_mha(b, 90, 64, 8, args.sol_gbps)
     for r in rows:
         print(json.dumps(r), flush=True)
     hdr = f"{'kernel':18s} {'shape':>16s} {'us':>9s} {'GB/s':>8s} {'SoL':>6s}"

@@ -60,3 +60,66 @@ def test_block_diag():
     want[:2, :2] = np.asarray(w)
     want[2:, 2:] = np.asarray(w)
     np.testing.assert_array_equal(np.asarray(bd), want)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fwa_shard_mapped_matches_single_device():
+    """The kernel composed with shard_map over dp (ops/pallas/sharded.py)
+    must equal the single-device pallas_call, forward and backward —
+    this is the mesh+Pallas composition the trainer uses under dp/mp."""
+    from tlsan_tpu.ops.pallas.sharded import shard_map_batch_op
+    from tlsan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=4, mp=2, devices=jax.devices())
+    B, S, D, H = 32, 10, 64, 8
+    x, lengths, ws = _mk(B, S, D, H)
+
+    single = F.fwa_pallas(x, lengths, H, *ws)
+    fn = lambda x, l, *w: F.fwa_pallas(x, l, H, *w)
+    sharded = shard_map_batch_op(mesh, fn, x, lengths, *ws)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-6, rtol=1e-6)
+
+    g1 = jax.grad(lambda x: F.fwa_pallas(x, lengths, H, *ws).sum())(x)
+    g2 = jax.grad(
+        lambda x: shard_map_batch_op(mesh, fn, x, lengths, *ws).sum())(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_trainer_with_pallas_matches_xla(tmp_path, monkeypatch):
+    """A (dp, mp) TLSAN Trainer chunk with use_pallas=True (kernels
+    shard_mapped over dp, interpret mode) equals the XLA mesh path — the
+    round-1 'Pallas XOR mesh' restriction is gone."""
+    import tlsan_tpu.ops.pallas.mha as M
+    monkeypatch.setattr(
+        M.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+
+    from tests.test_train import synthetic
+    from tlsan_tpu.core.config import ModelConfig, TrainConfig
+    from tlsan_tpu.models.tlsan import TLSAN
+    from tlsan_tpu.train.loop import Trainer
+
+    train, test, cate_list = synthetic(n=128, users=21, items=29, cates=5)
+    cfg = ModelConfig(model="tlsan", user_count=21, item_count=29,
+                      cate_count=5, Ls=10, Ts=8)
+    base = dict(max_epochs=1, train_batch_size=32, test_batch_size=64,
+                steps_per_call=2, eval_freq=10**9, best_after_step=0,
+                dp=4, mp=2, sparse_updates=False)
+
+    tr_x = Trainer(TLSAN, cfg, TrainConfig(model_dir=str(tmp_path / "x"),
+                                           **base),
+                   cate_list, train, test, use_pallas=False)
+    _, _, loss_x = tr_x._train_chunk(tr_x.params, tr_x.opt_state,
+                                     tr_x._epoch_index(0)[0])
+
+    tr_p = Trainer(TLSAN, cfg, TrainConfig(model_dir=str(tmp_path / "p"),
+                                           **base),
+                   cate_list, train, test, use_pallas=True)
+    m_p = tr_p.evaluate()
+    _, _, loss_p = tr_p._train_chunk(tr_p.params, tr_p.opt_state,
+                                     tr_p._epoch_index(0)[0])
+
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-5)
+    assert 0.0 <= m_p["auc"] <= 1.0

@@ -130,19 +130,32 @@ class ATRank:
         # dropout_rng is supplied and the jnp path is deterministic anyway)
         no_dropout = cfg.dropout <= 0.0 or batch.get("dropout_rng") is None
         fused = use_pallas and no_dropout and h.shape[0] >= 256
-        if fused:
-            from tlsan_tpu.ops.pallas.mha import mha_pallas
+        mha_fused = ATRank._fused_mha(cfg) if fused else None
 
         enc = h
         for blk in params["self_blocks"]:
             if fused:
-                enc = mha_pallas(enc, enc, sl, sl, cfg.num_heads, blk["attn"])
+                enc = mha_fused(enc, enc, sl, sl, blk["attn"])
             else:
                 enc, _ = multihead_attention(enc, sl, enc, sl,
                                              cfg.num_heads, blk["attn"],
                                              cfg.dropout, next_rng())
             enc = feedforward(enc, blk["ffn"])
         return enc, fused, next_rng
+
+    @staticmethod
+    def _fused_mha(cfg):
+        """Pallas MHA, shard_mapped over dp when a mesh is active
+        (ops/pallas/sharded.py) — single-device pallas_call otherwise."""
+        from tlsan_tpu.nn import embedding
+        from tlsan_tpu.ops.pallas.mha import mha_pallas
+        mesh = embedding.current_batch_mesh()
+        if mesh is not None:
+            from tlsan_tpu.ops.pallas.sharded import mha_sharded
+            return (lambda q, k, ql, kl, p:
+                    mha_sharded(mesh, q, k, ql, kl, cfg.num_heads, p))
+        return (lambda q, k, ql, kl, p:
+                mha_pallas(q, k, ql, kl, cfg.num_heads, p))
 
     @staticmethod
     def _readout(params, enc, query_items, batch, cate_list, cfg,
@@ -155,9 +168,7 @@ class ATRank:
         ones = jnp.ones_like(sl)
         for blk in params["vanilla_blocks"]:
             if fused:
-                from tlsan_tpu.ops.pallas.mha import mha_pallas
-                dec = mha_pallas(dec, enc, ones, sl, cfg.num_heads,
-                                 blk["attn"])
+                dec = ATRank._fused_mha(cfg)(dec, enc, ones, sl, blk["attn"])
             else:
                 dec, _ = multihead_attention(dec, ones, enc, sl,
                                              cfg.num_heads, blk["attn"],

@@ -19,19 +19,33 @@ _state = threading.local()
 
 
 @contextmanager
-def vocab_sharded(mesh):
-    """Within this context, lookups on vocab tables run the explicit
-    shard_map gather over `mesh`'s mp axis."""
-    prev = getattr(_state, "mesh", None)
-    _state.mesh = mesh
+def mesh_context(mesh, vocab_is_sharded: bool = True):
+    """Declare the active device mesh for trace time.  With
+    ``vocab_is_sharded`` lookups on vocab tables run the explicit shard_map
+    gather over the mp axis; either way ``current_batch_mesh()`` lets
+    batch-level ops (the Pallas kernels) shard_map themselves over dp."""
+    prev = getattr(_state, "ctx", (None, False))
+    _state.ctx = (mesh, vocab_is_sharded)
     try:
         yield
     finally:
-        _state.mesh = prev
+        _state.ctx = prev
+
+
+def vocab_sharded(mesh):
+    """Back-compat alias: mesh with mp-sharded vocab tables."""
+    return mesh_context(mesh, True)
 
 
 def current_mesh():
-    return getattr(_state, "mesh", None)
+    """Mesh for vocab-table lookups (None unless tables are mp-sharded)."""
+    mesh, vs = getattr(_state, "ctx", (None, False))
+    return mesh if vs else None
+
+
+def current_batch_mesh():
+    """Mesh for batch-dim ops (set whenever ANY mesh is active)."""
+    return getattr(_state, "ctx", (None, False))[0]
 
 
 def lookup(table, ids):

@@ -73,8 +73,18 @@ def feature_wise_attention(x, lengths, num_heads, w1, b1, w2, b2,
     routes through the jnp path."""
     if (dropout_rate <= 0.0 or rng is None) and use_pallas \
             and jax.default_backend() == "tpu":
+        from tlsan_tpu.nn import embedding
         from tlsan_tpu.ops.pallas.fwa import fwa_pallas
 
+        mesh = embedding.current_batch_mesh()
+        if mesh is not None:
+            # mesh run: shard_map the kernel over dp (ops/pallas/sharded.py)
+            from tlsan_tpu.ops.pallas.sharded import shard_map_batch_op
+            return shard_map_batch_op(
+                mesh,
+                lambda x, l, w1, b1, w2, b2: fwa_pallas(
+                    x, l, num_heads, w1, b1, w2, b2),
+                x, lengths, w1, b1, w2, b2)
         return fwa_pallas(x, lengths, num_heads, w1, b1, w2, b2)
     return feature_wise_attention_reference(
         x, lengths, num_heads, w1, b1, w2, b2,

@@ -148,8 +148,8 @@ class Evaluator:
         self._mesh, self._vs = mesh, vocab_sharded
 
     def _ctx(self):
-        return (embedding.vocab_sharded(self._mesh)
-                if self._mesh is not None and self._vs else nullcontext())
+        return (embedding.mesh_context(self._mesh, self._vs)
+                if self._mesh is not None else nullcontext())
 
     def auc(self, params) -> float:
         with self._ctx():

@@ -68,12 +68,9 @@ class Trainer:
         # vocab tables with explicit collectives (docs/design.md)
         self.mesh = None
         counts_true = (cfg.user_count, cfg.item_count, cfg.cate_count)
-        if tc.dp * tc.mp > 1 and use_pallas:
-            # pallas_call has no GSPMD partitioning rule — sharded operands
-            # would replicate (or fail to lower); the XLA path shards fine
-            print("mesh run: forcing the XLA attention path (pallas kernels "
-                  "are single-device)", flush=True)
-            use_pallas = False
+        # pallas_call has no GSPMD partitioning rule, but the kernels are
+        # batch-parallel: under a mesh they run shard_mapped over dp
+        # (ops/pallas/sharded.py), so --pallas composes with dp/mp now
         self.use_pallas = use_pallas
         if tc.dp * tc.mp > 1:
             from tlsan_tpu.parallel.api import pad_cate_list, pad_config_for_mp
@@ -225,9 +222,10 @@ class Trainer:
         self._dropout_rng = base_rng
 
         def run(params, opt_state, idx):
-            # the vocab_sharded context governs trace-time lookup dispatch
-            ctx = (embedding.vocab_sharded(mesh)
-                   if mesh is not None and self.tc.mp > 1 else nullcontext())
+            # trace-time mesh context: mp-sharded lookups + dp-shard_mapped
+            # pallas kernels
+            ctx = (embedding.mesh_context(mesh, self.tc.mp > 1)
+                   if mesh is not None else nullcontext())
             with ctx:
                 params, opt_state, self._dropout_rng, loss = train_chunk(
                     params, opt_state, idx, self._dropout_rng)
@@ -272,8 +270,7 @@ class Trainer:
             # jit; it is identical on every rank by construction
             rng = jax.make_array_from_process_local_data(
                 NamedSharding(self.mesh, P()), np.asarray(self._dropout_rng))
-            ctx = (embedding.vocab_sharded(self.mesh)
-                   if self.tc.mp > 1 else nullcontext())
+            ctx = embedding.mesh_context(self.mesh, self.tc.mp > 1)
             with ctx:
                 params, opt_state, self._dropout_rng, loss = train_chunk(
                     params, opt_state, batches, rng)
@@ -367,8 +364,8 @@ class Trainer:
         else:
             batch = {k: v[jnp.asarray(chunk_idx[-1])]
                      for k, v in self.train_data.items()}
-        ctx = (embedding.vocab_sharded(self.mesh)
-               if self.mesh is not None and self.tc.mp > 1 else nullcontext())
+        ctx = (embedding.mesh_context(self.mesh, self.tc.mp > 1)
+               if self.mesh is not None else nullcontext())
         with ctx:
             histos, l2 = self._summary_fn(self.params, batch)
         histos = {k: tuple(np.asarray(x) for x in v) for k, v in histos.items()}
