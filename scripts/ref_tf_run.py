@@ -63,6 +63,12 @@ if not hasattr(tf, "contrib"):
 def patch_common(src: str) -> str:
     src = src.replace("import tensorflow as tf",
                       "from tf1shim import tf")
+    # ATRank/train.py:124 loads a 5th pickle object its own build_dataset
+    # never writes (ATRank/build_dataset.py:49-52) and never uses — the
+    # shipped code cannot run without this fix
+    src = src.replace(
+        "    test_items = pickle.load(f)",
+        "    test_items = None  # patched: object never written nor used")
     # absl FlagValues has no __flags dict attribute access from module scope
     src = src.replace("FLAGS.__flags.items()",
                       "FLAGS.flag_values_dict().items()")

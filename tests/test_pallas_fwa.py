@@ -49,8 +49,12 @@ def test_kernel_vjp_matches_reference():
                   argnums=(0, 1))(x, ws[0])
     g2 = jax.grad(lambda x, w: ref(x, lengths, 8, w, *ws[1:]).sum(),
                   argnums=(0, 1))(x, ws[0])
-    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), rtol=1e-5)
+    # the hand-written backward kernel sums in a different (but valid)
+    # order than the jnp reference - tiny atol absorbs f32 associativity
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_block_diag():

@@ -119,17 +119,18 @@ class ATRank:
             rng, sub = jax.random.split(rng)
             return sub
 
-        # fused Pallas attention on TPU when no attention-prob dropout is
-        # needed (ops/pallas/mha.py — exact vs the jnp path,
-        # tests/test_pallas_mha.py).  At the reference batch (32) the op is
-        # dispatch-bound and XLA's fusion is already fine — the kernel only
-        # pays off once the batch saturates the VPU (measured on-chip:
-        # ~equal at B=32 with minutes of extra compile; wins at larger B) —
-        # so it engages at B ≥ 256 (large-batch training / bulk serving).
+        # fused Pallas attention (ops/pallas/mha.py — exact vs the jnp
+        # path, tests/test_pallas_mha.py) engages whenever --pallas is on
+        # and no attention-prob dropout is needed.  Round-2 chain-corrected
+        # measurements (runs/bench_kernels_r2.txt, RESULTS.md): the XLA
+        # path wins the forward at EVERY batch in {32, 512, 2048} and ties
+        # the backward, so --pallas stays an explicit A/B switch, not a
+        # default — the old "auto-engage at B>=256" heuristic contradicted
+        # the measurements and is gone.
         # (a dropout-trained cfg still fuses at inference, where no
         # dropout_rng is supplied and the jnp path is deterministic anyway)
         no_dropout = cfg.dropout <= 0.0 or batch.get("dropout_rng") is None
-        fused = use_pallas and no_dropout and h.shape[0] >= 256
+        fused = use_pallas and no_dropout
         mha_fused = ATRank._fused_mha(cfg) if fused else None
 
         enc = h

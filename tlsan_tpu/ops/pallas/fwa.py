@@ -113,21 +113,143 @@ def _fwa_forward(x, lengths, num_heads, w1, b1, w2, b2):
     return out
 
 
+def _fwa_bwd_kernel(x_ref, len_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    *, total_b: int):
+    """Hand-written fused backward: recompute m1/m2/soft in VMEM (flash
+    style — no residuals beyond x ever hit HBM), emit dx for this batch
+    tile and ACCUMULATE the weight grads across the sequential TPU grid
+    (constant-index outputs, init on the first tile).
+
+    Rows of a partial final tile are beyond `total_b` and read undefined
+    data — they are zeroed so they cannot poison the accumulated weight
+    grads (their dx rows are discarded by the partial block write)."""
+    TB, S, D = x_ref.shape
+    row = pl.program_id(0) * TB + jax.lax.broadcasted_iota(
+        jnp.int32, (TB, 1), 0)
+    bmask = row < total_b              # [TB, 1]
+    x = jnp.where(bmask[:, :, None], x_ref[:], 0.0)
+    g = jnp.where(bmask, g_ref[:], 0.0)     # [TB, D]
+    dot3 = lambda a, w, dims: jax.lax.dot_general(
+        a, w, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    # --- recompute forward activations (identical to _fwa_kernel) ---
+    z1 = dot3(x, w1_ref[:], ((2,), (0,))) + b1_ref[:]
+    m1 = jnp.maximum(z1, 0.0)
+    m2 = dot3(m1, w2_ref[:], ((2,), (0,))) + b2_ref[:]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+    # invalid rows get one "valid" slot so their softmax is 0/0-free (their
+    # x/g are zeroed, so they still contribute exactly nothing)
+    lens = jnp.where(bmask, len_ref[:], 1)
+    mask = pos < lens
+    m2 = m2 + (1.0 - mask.astype(jnp.float32))[:, :, None] * VERY_NEGATIVE_NUMBER
+    mx = jnp.max(m2, axis=1, keepdims=True)
+    e = jnp.exp(m2 - mx)
+    soft = e / jnp.sum(e, axis=1, keepdims=True)
+    # --- backward ---
+    gb = g[:, None, :]                 # [TB, 1, D]
+    ds = gb * x                        # d(out)/d(soft) term
+    # softmax over time, per feature
+    dm2 = soft * (ds - jnp.sum(soft * ds, axis=1, keepdims=True))
+    dm1 = dot3(dm2, w2_ref[:], ((2,), (1,)))      # · W2ᵀ
+    dz1 = dm1 * (z1 > 0.0)
+    dx_ref[:] = soft * gb + dot3(dz1, w1_ref[:], ((2,), (1,)))  # · W1ᵀ
+    # weight grads: contract over (batch, time) — Mosaic's matmul wants a
+    # single contracting dim, so collapse [TB, S, D] → [TB·S, D] first
+    def sum_bt(a, b):
+        a2 = a.reshape(TB * S, D)
+        b2 = b.reshape(TB * S, D)
+        return jax.lax.dot_general(
+            a2, b2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    dw1_ref[:] += sum_bt(x, dz1)
+    db1_ref[:] += jnp.sum(dz1, axis=(0, 1))[None, :]
+    dw2_ref[:] += sum_bt(m1, dm2)
+    db2_ref[:] += jnp.sum(dm2, axis=(0, 1))[None, :]
+
+
+def _block_diag_extract(wbd, num_heads: int):
+    """Σ over heads of the diagonal [dh, dh] blocks (the per-head map is
+    SHARED across heads in the reference — bn_dense_layer has one dense)."""
+    D = wbd.shape[0]
+    dh = D // num_heads
+    blocks = wbd.reshape(num_heads, dh, num_heads, dh)
+    return blocks[jnp.arange(num_heads), :, jnp.arange(num_heads), :].sum(0)
+
+
+def _fwa_backward(x, lengths, num_heads, w1, b1, w2, b2, g):
+    B, S, D = x.shape
+    dh = D // num_heads
+    w1bd = _block_diag(w1, num_heads)
+    w2bd = _block_diag(w2, num_heads)
+    b1t = jnp.tile(b1, num_heads)[None, :]
+    b2t = jnp.tile(b2, num_heads)[None, :]
+    # ~12 live [TB, S_pad, lanes] f32 buffers in the backward (x, z1, m1,
+    # m2, e, soft, ds, dm2, dm1, dz1 + reshapes) must fit scoped VMEM
+    vmem_budget = 6 * 1024 * 1024
+    lanes = _round_up(D, 128)
+    s_pad = _round_up(S, 8)
+    tb_cap = max(8, (vmem_budget // (14 * s_pad * lanes * 4)) // 8 * 8)
+    TB = min(_round_up(B, 8), 512, tb_cap)
+    grid = (pl.cdiv(B, TB),)
+    lengths2 = lengths.astype(jnp.int32)[:, None]
+
+    wspec = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dx, dw1bd, db1t, dw2bd, db2t = pl.pallas_call(
+        functools.partial(_fwa_bwd_kernel, total_b=B),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, S, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            wspec, bspec, wspec, bspec,
+            pl.BlockSpec((TB, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, S, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, bspec, wspec, bspec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, D), x.dtype),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * B * S * D * D // num_heads + 12 * B * S * D,
+            bytes_accessed=4 * (2 * B * S * D + 2 * B * D + 4 * D * D),
+            transcendentals=B * S * D,
+        ),
+    )(x, lengths2, w1bd, b1t, w2bd, b2t, g)
+    dw1 = _block_diag_extract(dw1bd, num_heads)
+    dw2 = _block_diag_extract(dw2bd, num_heads)
+    db1 = db1t.reshape(num_heads, dh).sum(0)
+    db2 = db2t.reshape(num_heads, dh).sum(0)
+    return dx, dw1, db1, dw2, db2
+
+
 def _fwa_fwd(x, lengths, num_heads, w1, b1, w2, b2):
     out = _fwa_forward(x, lengths, num_heads, w1, b1, w2, b2)
     return out, (x, lengths, w1, b1, w2, b2)
 
 
 def _fwa_bwd(num_heads, res, g):
-    # rematerialize through the jnp reference (identical semantics)
-    from tlsan_tpu.ops.feature_attention import feature_wise_attention_reference
-
     x, lengths, w1, b1, w2, b2 = res
-    _, vjp = jax.vjp(
-        lambda x, w1, b1, w2, b2: feature_wise_attention_reference(
-            x, lengths, num_heads, w1, b1, w2, b2),
-        x, w1, b1, w2, b2)
-    dx, dw1, db1, dw2, db2 = vjp(g)
+    dx, dw1, db1, dw2, db2 = _fwa_backward(
+        x, lengths, num_heads, w1, b1, w2, b2, g)
     return dx, None, dw1, db1, dw2, db2
 
 
