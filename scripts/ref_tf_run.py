@@ -91,6 +91,9 @@ def main():
     p.add_argument("--workdir", default=os.path.join(REPO, "runs", "ref_tf"))
     p.add_argument("--fast", action="store_true",
                    help="stub P@k/R@k evals (3x faster eval, same AUC)")
+    p.add_argument("--train_seed", type=int, default=None,
+                   help="override the hard-coded 1234 TRAIN seeds (init + "
+                        "shuffle); the dataset builder seed stays 1234")
     p.add_argument("--build-only", action="store_true")
     p.add_argument("train_flags", nargs="*",
                    help="passed through to the reference train.py")
@@ -115,6 +118,11 @@ def main():
                 "pd.value_counts = lambda x: pd.Series(x).value_counts()")
         if fname == "train.py" and args.fast:
             src = patch_fast(src)
+        if fname == "train.py" and args.train_seed is not None:
+            for pat in ("random.seed(1234)", "np.random.seed(1234)",
+                        "tf.set_random_seed(1234)"):
+                src = src.replace(pat, pat.replace("1234",
+                                                   str(args.train_seed)))
         with open(os.path.join(mdir, fname), "w") as f:
             f.write(src)
 

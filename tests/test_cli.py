@@ -92,3 +92,57 @@ def test_serve_cli_out_file(trained_dir, reference_data_dir, tmp_path):
     recs = [json.loads(l) for l in open(out)]
     assert len(recs) == 2010  # one row per test user
     assert all(len(r["items"]) == 3 for r in recs[:20])
+
+
+def test_raw_pipeline_end_to_end_via_file_urls(tmp_path):
+    """download → convert → remap → build+pack, fully exercised without
+    network egress: the SNAP host is swapped for file:// fixture dumps
+    (--base_url), closing the last untested leg of the §2.1 pipeline."""
+    import gzip
+    import numpy as np
+
+    from tlsan_tpu.core.config import ModelConfig
+    from tlsan_tpu.data import cli as dcli
+    from tlsan_tpu.train.cli import prepare
+
+    # fixture dumps under the exact SNAP filenames for a real category
+    fixtures = tmp_path / "snap"
+    fixtures.mkdir()
+    rng = np.random.default_rng(0)
+    with gzip.open(fixtures / "reviews_Digital_Music_5.json.gz", "wt") as f:
+        for u in range(12):
+            # 12 interactions over 6 distinct days (sessions of 2)
+            items = rng.integers(0, 10, 12)
+            for k, i in enumerate(items):
+                f.write(repr({"reviewerID": f"u{u:02d}", "asin": f"a{i}",
+                              "unixReviewTime": 86400 * (100 * u + k // 2)})
+                        + "\n")
+    with gzip.open(fixtures / "meta_Digital_Music.json.gz", "wt") as f:
+        for i in range(10):
+            f.write(repr({"asin": f"a{i}",
+                          "categories": [["Root", f"c{i % 3}"]]}) + "\n")
+
+    raw = tmp_path / "raw"
+    rc = dcli.main(["download", "--category", "Digital_Music",
+                    "--out", str(raw), "--base_url", fixtures.as_uri()])
+    assert not rc
+    assert (raw / "reviews_Digital_Music_5.json.gz").exists()
+
+    rc = dcli.main(["convert",
+                    "--reviews", str(raw / "reviews_Digital_Music_5.json.gz"),
+                    "--meta", str(raw / "meta_Digital_Music.json.gz"),
+                    "--out", str(raw)])
+    assert not rc
+
+    out_pkl = tmp_path / "Data" / "Digital_Music.pkl"
+    out_pkl.parent.mkdir()
+    rc = dcli.main(["remap", "--reviews", str(raw / "reviews.pkl"),
+                    "--meta", str(raw / "meta.pkl"), "--out", str(out_pkl),
+                    "--min_item", "2", "--min_user", "4",
+                    "--min_sessions", "4"])
+    assert not rc
+
+    train_b, test_b, cate_list, cfg = prepare(
+        "tlsan", str(out_pkl), ModelConfig(model="tlsan"), use_cache=False)
+    assert train_b.n > 0 and test_b.n == cfg.user_count > 0
+    assert cfg.item_count == len(cate_list)

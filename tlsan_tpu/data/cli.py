@@ -34,6 +34,12 @@ from tlsan_tpu.data.remap import (
 def cmd_download(args):
     os.makedirs(args.out, exist_ok=True)
     rev_url, meta_url = raw_urls(args.category)
+    if args.base_url:
+        # mirror / local fixture override (also how the zero-egress test
+        # exercises this path end-to-end with file:// URLs)
+        from tlsan_tpu.data.remap import SNAP_URL
+        rev_url = rev_url.replace(SNAP_URL, args.base_url.rstrip("/"))
+        meta_url = meta_url.replace(SNAP_URL, args.base_url.rstrip("/"))
     for url in (rev_url, meta_url):
         dest = os.path.join(args.out, os.path.basename(url))
         if os.path.exists(dest) or os.path.exists(dest[:-3]):
@@ -97,6 +103,9 @@ def main(argv=None):
     d = sub.add_parser("download", help="fetch raw Amazon SNAP dumps")
     d.add_argument("--category", choices=CATEGORIES, required=True)
     d.add_argument("--out", default="raw_data")
+    d.add_argument("--base_url", default=None,
+                   help="mirror/fixture base replacing the SNAP host "
+                        "(file:///... works)")
     d.set_defaults(fn=cmd_download)
 
     c = sub.add_parser("convert", help="JSON-lines → reviews.pkl/meta.pkl")

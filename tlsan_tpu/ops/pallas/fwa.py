@@ -11,9 +11,18 @@ TLSAN/model.py:370-394).  Fusion strategy:
     x is read from HBM exactly once and only the [B, D] output is written
     back — no map1/map2/soft intermediates ever hit HBM.
 
-Backward: custom VJP that rematerializes through the jnp reference
-implementation (same numerics, XLA-fused); a hand-written backward kernel is
-an optimization left on the table (the op is ~1% of step FLOPs).
+Backward: HAND-WRITTEN fused kernel (round 2): flash-style recompute of
+m1/m2/soft in VMEM, dx per batch tile, weight grads accumulated across the
+sequential grid; exact vs the jnp reference (tests/test_pallas_fwa.py).
+
+MEASURED VERDICT (round 2, chain-corrected — RESULTS.md "Pallas question"):
+XLA beats BOTH directions of this kernel at every shape tried
+(B ∈ {32..8192}, S ∈ {10, 90}); at B≥512 XLA's backward runs at 40-60% of
+HBM speed-of-light while this kernel is lane-bound at ~6% (D=64 fills half
+a 128-lane tile; dh=8 head splits idle the rest).  XLA is the production
+default; this kernel is the exact, tested substrate for shapes/chips where
+the verdict flips (re-evaluate against runs/bench_kernels_r2.txt).  Under
+a (dp, mp) mesh it composes via shard_map over dp (ops/pallas/sharded.py).
 """
 
 from __future__ import annotations

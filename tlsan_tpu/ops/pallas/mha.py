@@ -13,13 +13,16 @@ run as dh-contractions with H static (unrolled, H=8).
 Backward: custom VJP rematerializing through the jnp reference (identical
 numerics), as with the FWA kernel.
 
-MEASURED (TPU v5e, f32, D=64, H=8, T=90): this kernel is numerically exact
-(≤1e-6 vs the reference) but SLOWER than the XLA path (1145 µs vs 545 µs at
-B=128) — dh=8 pads to 128 lanes, wasting 16× of the VPU per head, and the
-batch tile is VMEM-bound at TB=8.  XLA's fusion of the same graph keeps the
-MXU shapes saner, so models/atrank.py uses the XLA path by default; this
-kernel is kept as the substrate for future shapes where the fusion wins
-(e.g. larger D or long-sequence variants).  Re-evaluate before enabling.
+MEASURED (round-2 chain-corrected sweep, TPU v5e, f32, D=64, H=8, T=90 —
+RESULTS.md "Pallas question"): numerically exact (≤1e-6 vs the reference)
+but the XLA path wins the forward at EVERY batch in {32, 512, 2048}
+(e.g. 7.7 ms vs 9.0 ms at B=2048) and ties the backward — dh=8 pads to
+128 lanes, wasting 16× of the VPU per head.  models/atrank.py therefore
+uses XLA by default and `--pallas` is an explicit A/B switch (the old
+auto-engage-at-B≥256 heuristic contradicted the measurements and was
+removed).  Under a (dp, mp) mesh the kernel composes via shard_map over
+dp (ops/pallas/sharded.py).  Re-evaluate against runs/bench_kernels_r2.txt
+before enabling.
 """
 
 from __future__ import annotations
