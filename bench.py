@@ -163,11 +163,16 @@ def main():
     log(f"baseline (per-step CPU): {args.baseline_steps} steps in {dt:.3f}s "
         f"-> {base_eps:,.0f} examples/s")
 
+    # measured anchor: the reference's OWN TF program (tf.compat.v1,
+    # scripts/ref_tf_run.py) sustains ≈5.0k examples/s in this environment
+    # (TLSAN/Home-Kitchen, median epoch 30.5 s — RESULTS.md round 2)
+    REF_MEASURED_EPS = 4994.0
     print(json.dumps({
         "metric": f"tlsan_train_examples_per_sec_{args.dataset}_b{B}",
         "value": round(fused_eps, 1),
         "unit": "examples/s",
         "vs_baseline": round(fused_eps / base_eps, 2),
+        "vs_reference_measured": round(fused_eps / REF_MEASURED_EPS, 2),
     }), flush=True)
 
 

@@ -104,7 +104,7 @@ def test_trainer_writes_histogram_summaries(tiny):
     L2_norm_user_item scalar."""
     train, test, cate_list, cfg, tc = tiny
     import dataclasses
-    tc = dataclasses.replace(tc, display_freq=4)
+    tc = dataclasses.replace(tc, display_freq=4, summary_freq=4)
     trainer = Trainer(TLSAN, cfg, tc, cate_list, train, test, use_pallas=False)
     trainer.train()
     trainer.writer.close()

@@ -146,9 +146,14 @@ class TrainConfig:
     sparse_auto_rows: int = 100_000
 
     # TensorBoard histogram summaries of the tables / gamma / attention
-    # output at display_freq (the reference's train_summary set,
-    # TLSAN/model.py:173-183), device-side digests
+    # output (the reference's train_summary set, TLSAN/model.py:173-183),
+    # device-side digests
     tb_histograms: bool = True
+    # histogram cadence in steps.  The reference histograms at
+    # display_freq (100); digesting the full tables costs ~100 ms+ at
+    # Electronics scale, so the default here is the eval cadence
+    # (documented deviation; set =display_freq for reference cadence)
+    summary_freq: int = 1000
 
     # parallelism: data-parallel and model-parallel (table-sharding) axis sizes
     dp: int = 1
