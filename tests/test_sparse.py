@@ -81,7 +81,7 @@ def test_sparse_matches_dense(model_name):
         model, cfg, tc, cate_list, data, params, False, lr_schedule(tc))
     p_sparse, _, loss_sparse = chunk(
         jax.tree_util.tree_map(jnp.copy, params),
-        jnp.asarray(0, jnp.int32), idx, jax.random.PRNGKey(0))
+        jnp.asarray(0, jnp.int32), idx, jax.random.PRNGKey(0), data)
 
     flat_d = jax.tree_util.tree_leaves_with_path(p_dense)
     flat_s = dict(jax.tree_util.tree_leaves_with_path(p_sparse))
@@ -107,7 +107,7 @@ def test_sparse_clip_active():
         model, cfg, tc, cate_list, data, params, False, lr_schedule(tc))
     p_sparse, _, _ = chunk(jax.tree_util.tree_map(jnp.copy, params),
                            jnp.asarray(0, jnp.int32), idx,
-                           jax.random.PRNGKey(0))
+                           jax.random.PRNGKey(0), data)
     for path, leaf_d in jax.tree_util.tree_leaves_with_path(p_dense):
         leaf_s = dict(jax.tree_util.tree_leaves_with_path(p_sparse))[path]
         np.testing.assert_allclose(np.asarray(leaf_s), np.asarray(leaf_d),

@@ -146,8 +146,10 @@ class Trainer:
         self.writer = (MetricWriter(tc.model_dir) if self.is_host0
                        else _NullWriter())
         self._train_chunk = self._build_train_chunk()
-        self._summary_fn = (self._build_summary_fn()
-                            if tc.tb_histograms else None)
+        self._summary_fn = self._summary_from_idx = None
+        if tc.tb_histograms:
+            self._summary_fn, self._summary_from_idx = \
+                self._build_summary_fn()
 
     # ------------------------------------------------------------------
 
@@ -179,7 +181,7 @@ class Trainer:
             def run_sparse(params, opt_state, idx):
                 params, self._dropout_rng, loss = chunk(
                     params, jnp.asarray(self.step, jnp.int32), idx,
-                    self._dropout_rng)
+                    self._dropout_rng, data)
                 return params, opt_state, loss
 
             return run_sparse
@@ -202,8 +204,13 @@ class Trainer:
         use_dropout = cfg.dropout > 0.0
         base_rng = jax.random.PRNGKey(self.tc.seed + 1)
 
+        # NOTE: the dataset is an ARGUMENT, not a closure — closed-over
+        # device arrays get baked into the executable as constants, and a
+        # second big-constant executable (summaries/eval) then thrashes
+        # the device program cache with multi-second re-uploads through
+        # the tunnel (measured: a 5 ms summary program took 4.5 s to load)
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_chunk(params, opt_state, idx, rng):  # idx: [K, B] int32
+        def train_chunk(params, opt_state, idx, rng, data):  # idx: [K, B]
             def step(carry, ib):
                 params, opt_state, rng = carry
                 batch = constrain({k: v[ib] for k, v in data.items()})
@@ -228,7 +235,7 @@ class Trainer:
                    if mesh is not None else nullcontext())
             with ctx:
                 params, opt_state, self._dropout_rng, loss = train_chunk(
-                    params, opt_state, idx, self._dropout_rng)
+                    params, opt_state, idx, self._dropout_rng, data)
             return params, opt_state, loss
 
         return run
@@ -323,10 +330,14 @@ class Trainer:
         limits = jnp.asarray(tb.tf_bucket_limits(), jnp.float32)
 
         def digest(x):
+            # sort + cumulative searchsorted: a large scatter-bincount runs
+            # ~1.4 s on-chip for a 2.4M-element table; sorting is ms-level
             x = x.astype(jnp.float32).reshape(-1)
-            idx = jnp.searchsorted(limits, x, side="left")
-            counts = jnp.zeros(limits.shape[0], jnp.float32).at[idx].add(1.0)
-            return (jnp.min(x), jnp.max(x), jnp.float32(x.size),
+            s = jnp.sort(x)
+            cum = jnp.searchsorted(s, limits, side="right")
+            counts = jnp.concatenate(
+                [cum[:1], cum[1:] - cum[:-1]]).astype(jnp.float32)
+            return (s[0], s[-1], jnp.float32(x.size),
                     jnp.sum(x), jnp.sum(x * x), counts)
 
         # reference tag names for TLSAN; generic embedding/<name> otherwise
@@ -340,37 +351,55 @@ class Trainer:
         l2_names = [n for n in getattr(model, "l2_full_tables", ())
                     if n in self.params]
 
-        @jax.jit
-        def summaries(params, batch):
-            out = {}
-            for n in tables:
-                tag = (tlsan_tags.get(n, f"embedding/{n}")
-                       if model.name == "tlsan" else f"embedding/{n}")
-                out[tag] = digest(params[n])
+        # static tag order; every digest is ONE row of a single packed
+        # array (min, max, num, sum, sumsq, counts...) so the host pulls
+        # ONE array + one scalar per summary instead of ~8 separate D2H
+        # round trips (each is an RPC through the tunnel)
+        tags = []
+        for n in tables:
+            tags.append(tlsan_tags.get(n, f"embedding/{n}")
+                        if model.name == "tlsan" else f"embedding/{n}")
+        if "gamma" in self.params:
+            tags.append("gamma")
+        tags.append("attention_output")
+        self._summary_tags = tags
+
+        def summaries_core(params, batch):
+            rows = [jnp.concatenate([jnp.stack(d[:5]), d[5]])
+                    for d in (digest(params[n]) for n in tables)]
             if "gamma" in params:
-                out["gamma"] = digest(params["gamma"])
+                d = digest(params["gamma"])
+                rows.append(jnp.concatenate([jnp.stack(d[:5]), d[5]]))
             u_t = model.user_repr(params, batch, cate_list, cfg, use_pallas)
-            out["attention_output"] = digest(u_t)
+            d = digest(u_t)
+            rows.append(jnp.concatenate([jnp.stack(d[:5]), d[5]]))
             l2 = sum((0.5 * jnp.sum(jnp.square(params[n])) for n in l2_names),
                      jnp.float32(0.0))
-            return out, l2
+            return jnp.stack(rows), l2
 
-        return summaries
+        @jax.jit
+        def summaries_from_idx(params, ib, data):
+            # batch gather fused into the SAME dispatch; data passed as an
+            # argument (see the train_chunk note — closure constants thrash
+            # the device program cache)
+            return summaries_core(params, {k: v[ib] for k, v in data.items()})
+
+        return jax.jit(summaries_core), summaries_from_idx
 
     def _summary_dispatch(self, chunk_idx):
         """Dispatch the device-side histogram digests for the last batch of
         a chunk; returns (histos, l2) DEVICE trees — no host sync (the
         train loop buffers and materializes them at flush points)."""
+        ctx = (embedding.mesh_context(self.mesh, self.tc.mp > 1)
+               if self.mesh is not None else nullcontext())
         if self.n_proc > 1:
             gb = self._global_batches(np.asarray(chunk_idx[-1:]))
             batch = {k: v[0] for k, v in gb.items()}
-        else:
-            batch = {k: v[jnp.asarray(chunk_idx[-1])]
-                     for k, v in self.train_data.items()}
-        ctx = (embedding.mesh_context(self.mesh, self.tc.mp > 1)
-               if self.mesh is not None else nullcontext())
+            with ctx:
+                return self._summary_fn(self.params, batch)
         with ctx:
-            return self._summary_fn(self.params, batch)
+            return self._summary_from_idx(
+                self.params, jnp.asarray(chunk_idx[-1]), self.train_data)
 
     def _epoch_index(self, epoch: int) -> np.ndarray:
         """Shuffled [n_chunks, K, B] batch-index tensor; the tail wraps to the
@@ -455,11 +484,13 @@ class Trainer:
             for s, l, h in pending:
                 self.writer.write("train", s, {"loss": float(l)})
                 if h is not None:
-                    histos = {k: tuple(np.asarray(x) for x in v)
-                              for k, v in h[0].items()}
+                    packed, l2 = np.asarray(h[0]), float(h[1])
+                    histos = {
+                        tag: (row[0], row[1], row[2], row[3], row[4], row[5:])
+                        for tag, row in zip(self._summary_tags, packed)}
                     scalars = {"Training Loss": float(l)}
-                    if float(h[1]) > 0.0:
-                        scalars["L2_norm_user_item"] = float(h[1])
+                    if l2 > 0.0:
+                        scalars["L2_norm_user_item"] = l2
                     self.writer.write_histograms(s, histos, scalars)
             pending.clear()
 

@@ -106,7 +106,8 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
                       schedule):
     """Build the jitted fused-scan train chunk with sparse table updates.
 
-    Returns ``chunk(params, step0, idx, rng) -> (params, rng, mean_loss)``
+    Returns ``chunk(params, step0, idx, rng, data) -> (params, rng,
+    mean_loss)``
     semantically interchangeable with the dense optax chunk in
     train/loop.py (same carry contract minus opt_state, which SGD doesn't
     need beyond the step count — passed explicitly as ``step0``).
@@ -141,7 +142,8 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
     def loss_fn(sub_params, batch, local_cate):
         return model.loss(sub_params, batch, local_cate, cfg, use_pallas)
 
-    def step(carry, ib):
+    def make_step(data):
+      def step(carry, ib):
         # scale: lazy L2-decay factor per full-L2 table — the stored array W
         # relates to the true table as T = scale·W, so the per-step decay is
         # O(1) instead of an O(V·D) multiply pass; folded back once per
@@ -214,11 +216,15 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
         # can't see, for display parity with the dense path
         loss = loss + 0.5 * rr * sum(untouched_sq[t] for t in decay_names)
         return (new_params, new_scale, new_q, step_no + 1, rng), loss
+      return step
 
     from functools import partial
 
+    # the dataset is an ARGUMENT (same device buffers every call, zero
+    # copy) — closure constants get baked into the executable and thrash
+    # the device program cache (see train/loop.py note)
     @partial(jax.jit, donate_argnums=(0,))
-    def chunk(params, step0, idx, rng):
+    def chunk(params, step0, idx, rng, data):
         # q = ‖T‖² per decaying table; ONE dense read per fused chunk keeps
         # the in-scan recurrence drift bounded to steps_per_call steps.
         # scale starts at 1 and the accumulated decay is folded back into
@@ -226,7 +232,7 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
         q0 = {t: _sq(params[t]) for t in decay_names}
         s0 = {t: jnp.float32(1.0) for t in decay_names}
         (params, scale, _, _, rng), losses = jax.lax.scan(
-            step, (params, s0, q0, step0, rng), idx)
+            make_step(data), (params, s0, q0, step0, rng), idx)
         for t in decay_names:
             params[t] = params[t] * scale[t]
         return params, rng, jnp.mean(losses)
