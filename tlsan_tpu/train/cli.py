@@ -241,6 +241,14 @@ def main(argv=None):
                         "before training")
     p.add_argument("--from_scratch", action="store_true", default=True)
     p.add_argument("--resume", dest="from_scratch", action="store_false")
+    p.add_argument("--no_histograms", dest="tb_histograms",
+                   action="store_false", default=True,
+                   help="disable TensorBoard histogram summaries")
+    p.add_argument("--summary_freq", type=int, default=1000,
+                   help="steps between histogram summaries (the reference "
+                        "histograms at display_freq; digesting full tables "
+                        "is ~100ms at Electronics scale, so the default "
+                        "matches the eval cadence)")
     p.add_argument("--platform", default=None, choices=["cpu", "default"],
                    help="force the JAX platform; NOTE: this image's "
                         "sitecustomize registers the axon TPU plugin and "
@@ -313,6 +321,8 @@ def main(argv=None):
         dp=args.dp,
         mp=args.mp,
         sparse_updates=args.sparse_updates,
+        tb_histograms=args.tb_histograms,
+        summary_freq=args.summary_freq,
     )
 
     data_path = os.path.join(args.data_dir, f"{args.dataset}.pkl")
