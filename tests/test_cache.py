@@ -45,6 +45,22 @@ def test_cache_hit_skips_build(cache_env, monkeypatch):
     assert out[0].n > 0
 
 
+def test_cache_hit_keeps_caller_hyperparams(cache_env):
+    """A hit must merge only build-derived fields (counts/Ls/Ts/max_length)
+    into the CALLER's cfg: non-shape hyperparameters (dropout, hidden_units,
+    ...) are not in the cache key, so returning the stored cfg wholesale
+    would silently train with stale hyperparameters (ADVICE r2, high)."""
+    import dataclasses
+    cfg = ModelConfig(model="tlsan")
+    cli.prepare("tlsan", DATA, cfg, use_cache=True)  # warm with defaults
+    cfg2 = dataclasses.replace(cfg, dropout=0.3, hidden_units=128,
+                               num_heads=4, regulation_rate=1e-3)
+    _, _, _, got = cli.prepare("tlsan", DATA, cfg2, use_cache=True)  # hit
+    assert got.dropout == 0.3 and got.hidden_units == 128
+    assert got.num_heads == 4 and got.regulation_rate == 1e-3
+    assert got.item_count > 0 and got.user_count > 0  # build-derived merged
+
+
 def test_cache_key_sensitivity(cache_env):
     cfg = ModelConfig(model="tlsan")
     p1 = dcache.cache_path("tlsan", DATA, cfg, 1234)

@@ -43,8 +43,12 @@ def test_kernel_matches_reference(B, S):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_kernel_vjp_matches_reference():
-    x, lengths, ws = _mk(6, 10, 64, 8)
+@pytest.mark.parametrize("B", [6, 37])
+def test_kernel_vjp_matches_reference(B):
+    # B=6 fits one TB=8 batch tile; B=37 forces cdiv(B,TB)>1 so the
+    # backward's cross-tile weight-grad accumulation (pl.when init on tile 0
+    # + += over the sequential grid) and the multi-tile dx path are covered
+    x, lengths, ws = _mk(B, 10, 64, 8)
     g1 = jax.grad(lambda x, w: F.fwa_pallas(x, lengths, 8, w, *ws[1:]).sum(),
                   argnums=(0, 1))(x, ws[0])
     g2 = jax.grad(lambda x, w: ref(x, lengths, 8, w, *ws[1:]).sum(),

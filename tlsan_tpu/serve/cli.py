@@ -51,10 +51,18 @@ def main(argv=None):
     ckpt_path = checkpoint.best_checkpoint(args.model_dir)
     sidecar = None
     if ckpt_path is not None:
-        cfg_d = load_config_json(ckpt_path[: -len(".ckpt")] + ".json")
-        sidecar = model_config_from_json(cfg_d["ModelConfig"])
+        # a missing/corrupt sidecar must not break an explicit --model run
+        try:
+            cfg_d = load_config_json(ckpt_path[: -len(".ckpt")] + ".json")
+            sidecar = model_config_from_json(cfg_d["ModelConfig"])
+        except (OSError, KeyError, ValueError, TypeError):
+            sidecar = None
     model_name = args.model or (sidecar.model if sidecar else None)
     if model_name is None:
+        if ckpt_path is not None:
+            raise SystemExit(
+                f"checkpoint {ckpt_path} has no readable config sidecar; "
+                "pass --model explicitly")
         raise SystemExit(f"no checkpoint under {args.model_dir}")
 
     # rebuild the test split as request traffic (same packing as training)

@@ -53,7 +53,19 @@ def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234,
         cpath = dcache.cache_path(model_name, data_path, cfg, seed)
         hit = dcache.load(cpath)
         if hit is not None:
-            return hit
+            # Merge ONLY the build-derived fields from the stored config into
+            # the caller's cfg: the cache key covers the shape fields but not
+            # hyperparameters like dropout/hidden_units, so returning the
+            # stored cfg wholesale would silently revive stale hyperparams.
+            train_b, test_b, cate_list, stored = hit
+            merged = dataclasses.replace(
+                cfg,
+                user_count=stored.user_count,
+                item_count=stored.item_count,
+                cate_count=stored.cate_count,
+                catalog_items=stored.catalog_items,
+                Ls=stored.Ls, Ts=stored.Ts, max_length=stored.max_length)
+            return train_b, test_b, cate_list, merged
     out = _prepare_uncached(model_name, data_path, cfg, seed)
     if cpath is not None:
         dcache.store(cpath, out[0], out[1], out[2], out[3])
