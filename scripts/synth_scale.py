@@ -60,7 +60,22 @@ def main():
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--sparse", dest="sparse", action="store_true", default=None)
     p.add_argument("--no_sparse", dest="sparse", action="store_false")
+    p.add_argument("--steps_per_call", type=int, default=100,
+                   help="fused-scan steps per device dispatch; larger K "
+                        "amortizes the ~25ms tunnel RPC (VERDICT r2 #5)")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--optimizer", default="sgd")
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--mp", type=int, default=1)
+    p.add_argument("--platform", default=None, choices=["cpu", "default"],
+                   help="cpu = host CPU (with XLA_FLAGS device count this "
+                        "gives a virtual mesh for dp/mp runs)")
+    p.add_argument("--model_dir", default="runs/synth_scale")
     args = p.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     t0 = time.perf_counter()
     df, cate_list = make_synthetic(args.users, args.items, args.cates,
@@ -90,9 +105,13 @@ def main():
 
     cfg = ModelConfig(model="tlsan", user_count=args.users,
                       item_count=args.items, cate_count=args.cates, Ts=Ts)
-    tc = TrainConfig(model_dir="runs/synth_scale", max_epochs=args.epochs,
+    tc = TrainConfig(model_dir=args.model_dir, max_epochs=args.epochs,
                      eval_freq=10**9, best_after_step=0, save_auc_gate=2.0,
-                     sparse_updates=args.sparse)
+                     sparse_updates=args.sparse,
+                     steps_per_call=args.steps_per_call,
+                     train_batch_size=args.batch,
+                     optimizer=args.optimizer,
+                     dp=args.dp, mp=args.mp)
     trainer = Trainer(TLSAN, cfg, tc, cate_list, train_b, test_b,
                       use_pallas=False)
     t0 = time.perf_counter()
@@ -102,7 +121,7 @@ def main():
     # init/final full evals); total wall reported alongside
     import json as _json
     rates = []
-    with open(os.path.join("runs/synth_scale", "metrics.jsonl")) as f:
+    with open(os.path.join(args.model_dir, "metrics.jsonl")) as f:
         for line in f:
             rec = _json.loads(line)
             if rec.get("kind") == "epoch":
@@ -115,6 +134,8 @@ def main():
         "train_n": train_b.n, "users": args.users, "items": args.items,
         "build_s": round(build_s, 2), "final_auc": round(best["auc"], 4),
         "backend": jax.default_backend(), "sparse": args.sparse,
+        "steps_per_call": args.steps_per_call, "batch": args.batch,
+        "optimizer": args.optimizer, "dp": args.dp, "mp": args.mp,
     }), flush=True)
 
 

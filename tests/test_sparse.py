@@ -18,6 +18,7 @@ import optax
 import pytest
 
 from tlsan_tpu.core.config import ModelConfig, TrainConfig
+from tlsan_tpu.data.batcher import Batches
 from tlsan_tpu.models import get_model
 from tlsan_tpu.train import sparse
 from tlsan_tpu.train.cli import prepare
@@ -62,10 +63,20 @@ def _dense_chunk(model, cfg, tc, cate_list, data):
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        (params, _), losses = jax.lax.scan(step, (params, opt_state), idx)
-        return params, losses
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), idx)
+        return params, opt_state, losses
 
     return chunk
+
+
+def _assert_tree_close(got, want, rtol, atol, tag=""):
+    flat_w = jax.tree_util.tree_leaves_with_path(want)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got))
+    for path, leaf_w in flat_w:
+        np.testing.assert_allclose(
+            np.asarray(flat_g[path]), np.asarray(leaf_w), rtol=rtol,
+            atol=atol, err_msg=f"{tag} {jax.tree_util.keystr(path)}")
 
 
 @pytest.mark.parametrize("model_name", ALL_MODELS)
@@ -74,7 +85,7 @@ def test_sparse_matches_dense(model_name):
     assert sparse.sparsifiable(params, data), model_name
 
     dense = _dense_chunk(model, cfg, tc, cate_list, data)
-    p_dense, losses_dense = dense(
+    p_dense, _, losses_dense = dense(
         jax.tree_util.tree_map(jnp.copy, params), idx)
 
     chunk = sparse.make_sparse_chunk(
@@ -83,17 +94,49 @@ def test_sparse_matches_dense(model_name):
         jax.tree_util.tree_map(jnp.copy, params),
         jnp.asarray(0, jnp.int32), idx, jax.random.PRNGKey(0), data)
 
-    flat_d = jax.tree_util.tree_leaves_with_path(p_dense)
-    flat_s = dict(jax.tree_util.tree_leaves_with_path(p_sparse))
-    for path, leaf_d in flat_d:
-        leaf_s = flat_s[path]
-        np.testing.assert_allclose(
-            np.asarray(leaf_s), np.asarray(leaf_d), rtol=2e-3, atol=2e-5,
-            err_msg=f"{model_name} param {jax.tree_util.keystr(path)}")
+    _assert_tree_close(p_sparse, p_dense, rtol=2e-3, atol=2e-5,
+                       tag=model_name)
     # mean chunk loss (incl. the analytic untouched-row L2 mass) matches
     np.testing.assert_allclose(float(loss_sparse),
                                float(jnp.mean(losses_dense)),
                                rtol=1e-3)
+
+
+@pytest.mark.parametrize("model_name", ALL_MODELS)
+def test_sparse_adam_matches_dense(model_name):
+    """Scatter-moment Adam (make_sparse_adam_chunk) equals the dense
+    optax.chain(clip, adam(schedule)) step — params AND final moments —
+    across the LR drop and the early active clip."""
+    model, cfg, tc, data, cate_list, idx, params = _setup(model_name)
+    tc = dataclasses.replace(tc, optimizer="adam", learning_rate=0.01)
+
+    dense = _dense_chunk(model, cfg, tc, cate_list, data)
+    p_dense, st_dense, losses_dense = dense(
+        jax.tree_util.tree_map(jnp.copy, params), idx)
+    adam_dense = sparse.find_adam_state(st_dense)
+
+    chunk = sparse.make_sparse_adam_chunk(
+        model, cfg, tc, cate_list, data, params, False, lr_schedule(tc))
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    p_sparse, mu, nu, _, loss_sparse = chunk(
+        jax.tree_util.tree_map(jnp.copy, params),
+        jax.tree_util.tree_map(jnp.copy, zeros),
+        jax.tree_util.tree_map(jnp.copy, zeros),
+        jnp.asarray(0, jnp.int32), idx, jax.random.PRNGKey(0), data)
+
+    # atol 2e-3: FFN output biases see catastrophically-cancelled grads
+    # (~1e-10, 100% relative f32 noise and « Adam's eps) whose update is
+    # sign-like — reassociation noise between any two compiled programs
+    # walks chaotically there (verified leaf-identical at 1 step).  Live
+    # leaves are ~0.3-scale, so rtol=2e-3 still binds for real bugs.
+    _assert_tree_close(p_sparse, p_dense, rtol=2e-3, atol=2e-3,
+                       tag=f"{model_name} params")
+    _assert_tree_close(mu, adam_dense.mu, rtol=2e-3, atol=2e-6,
+                       tag=f"{model_name} mu")
+    _assert_tree_close(nu, adam_dense.nu, rtol=2e-3, atol=2e-8,
+                       tag=f"{model_name} nu")
+    np.testing.assert_allclose(float(loss_sparse),
+                               float(jnp.mean(losses_dense)), rtol=1e-3)
 
 
 def test_sparse_clip_active():
@@ -102,13 +145,58 @@ def test_sparse_clip_active():
     model, cfg, tc, data, cate_list, idx, params = _setup("tlsan", steps=5)
     tc = dataclasses.replace(tc, max_gradient_norm=0.05)  # always clipping
     dense = _dense_chunk(model, cfg, tc, cate_list, data)
-    p_dense, _ = dense(jax.tree_util.tree_map(jnp.copy, params), idx)
+    p_dense, _, _ = dense(jax.tree_util.tree_map(jnp.copy, params), idx)
     chunk = sparse.make_sparse_chunk(
         model, cfg, tc, cate_list, data, params, False, lr_schedule(tc))
     p_sparse, _, _ = chunk(jax.tree_util.tree_map(jnp.copy, params),
                            jnp.asarray(0, jnp.int32), idx,
                            jax.random.PRNGKey(0), data)
-    for path, leaf_d in jax.tree_util.tree_leaves_with_path(p_dense):
-        leaf_s = dict(jax.tree_util.tree_leaves_with_path(p_sparse))[path]
-        np.testing.assert_allclose(np.asarray(leaf_s), np.asarray(leaf_d),
-                                   rtol=2e-4, atol=2e-6)
+    _assert_tree_close(p_sparse, p_dense, rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("optimizer", ["sgd", "adam"])
+@pytest.mark.parametrize("model_name", ["tlsan", "atrank", "lspm"])
+def test_sparse_mesh_matches_single_device(tmp_path, model_name, optimizer):
+    """Sparse touched-row updates composed with a (dp=4, mp=2) mesh — the
+    batch dp-sharded, vocab tables row-sharded with the masked-gather/psum
+    exchange, touched-row scatters shard_mapped per mp shard — must match
+    the SINGLE-DEVICE DENSE Trainer after a train chunk.  Families cover
+    full-table L2 (tlsan), row-L2 (atrank) and the LSPM short_w/long_w
+    auxiliary vocab tables."""
+    from tlsan_tpu.train.loop import Trainer
+
+    cfg0 = ModelConfig(model=model_name)
+    train_b, test_b, cate_list, cfg = prepare(model_name, DATA, cfg0)
+    train_b = Batches({k: v[:192] for k, v in train_b.arrays.items()},
+                      min(192, train_b.n))
+    test_b = Batches({k: v[:96] for k, v in test_b.arrays.items()},
+                     min(96, test_b.n))
+    model = get_model(model_name)
+    lr = 1.0 if optimizer == "sgd" else 0.01
+    base = dict(max_epochs=1, train_batch_size=32, test_batch_size=32,
+                steps_per_call=3, eval_freq=10**9, best_after_step=0,
+                optimizer=optimizer, learning_rate=lr)
+
+    tr1 = Trainer(model, cfg, TrainConfig(model_dir=str(tmp_path / "single"),
+                                          sparse_updates=False, **base),
+                  cate_list, train_b, test_b, use_pallas=False)
+    idx = tr1._epoch_index(0)[0]
+    tr1.params, tr1.opt_state, loss1 = tr1._train_chunk(
+        tr1.params, tr1.opt_state, idx)
+
+    tr2 = Trainer(model, cfg, TrainConfig(model_dir=str(tmp_path / "mesh"),
+                                          dp=4, mp=2, sparse_updates=True,
+                                          **base),
+                  cate_list, train_b, test_b, use_pallas=False)
+    assert tr2._use_sparse, "sparse path must engage under the mesh"
+    tr2.params, tr2.opt_state, loss2 = tr2._train_chunk(
+        tr2.params, tr2.opt_state, idx)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-3)
+    # canonical (unpadded) params must match the dense single-device run.
+    # adam atol 2e-3: same near-zero-grad bias chaos as
+    # test_sparse_adam_matches_dense (see comment there)
+    _assert_tree_close(tr2._ckpt_params(), tr1._ckpt_params(),
+                       rtol=2e-3, atol=2e-5 if optimizer == "sgd" else 2e-3,
+                       tag=f"{model_name}/{optimizer} mesh-sparse")

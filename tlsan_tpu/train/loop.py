@@ -169,19 +169,48 @@ class Trainer:
             rows = self.cfg.item_count + self.cfg.user_count
             want_sparse = rows >= self.tc.sparse_auto_rows
         self._use_sparse = (
-            self.tc.optimizer == "sgd" and mesh is None
+            self.tc.optimizer in ("sgd", "adam") and self.n_proc == 1
             and want_sparse
             and sparse_mod.sparsifiable(self.params, data))
         if self._use_sparse:
+            self._dropout_rng = jax.random.PRNGKey(self.tc.seed + 1)
+            mesh_kw = dict(mesh=mesh, vocab_sharded=self.tc.mp > 1)
+
+            def sparse_ctx():
+                # model lookups act on gathered row blocks (plain takes), so
+                # the vocab-sharded lookup context stays OFF even at mp>1
+                # (the chunk's own gather/scatter do the mp exchange); the
+                # batch mesh stays visible for dp-shard_mapped Pallas kernels
+                return (embedding.mesh_context(mesh, False)
+                        if mesh is not None else nullcontext())
+
+            if self.tc.optimizer == "adam":
+                chunk = sparse_mod.make_sparse_adam_chunk(
+                    model, cfg, self.tc, cate_list, data, self.params,
+                    use_pallas, lr_schedule(self.tc), **mesh_kw)
+
+                def run_sparse(params, opt_state, idx):
+                    st = sparse_mod.find_adam_state(opt_state)
+                    with sparse_ctx():
+                        params, mu, nu, self._dropout_rng, loss = chunk(
+                            params, st.mu, st.nu,
+                            jnp.asarray(self.step, jnp.int32), idx,
+                            self._dropout_rng, data)
+                    opt_state = sparse_mod.replace_adam_state(
+                        opt_state, mu, nu, self.step + len(idx))
+                    return params, opt_state, loss
+
+                return run_sparse
+
             chunk = sparse_mod.make_sparse_chunk(
                 model, cfg, self.tc, cate_list, data, self.params,
-                use_pallas, lr_schedule(self.tc))
-            self._dropout_rng = jax.random.PRNGKey(self.tc.seed + 1)
+                use_pallas, lr_schedule(self.tc), **mesh_kw)
 
             def run_sparse(params, opt_state, idx):
-                params, self._dropout_rng, loss = chunk(
-                    params, jnp.asarray(self.step, jnp.int32), idx,
-                    self._dropout_rng, data)
+                with sparse_ctx():
+                    params, self._dropout_rng, loss = chunk(
+                        params, jnp.asarray(self.step, jnp.int32), idx,
+                        self._dropout_rng, data)
                 return params, opt_state, loss
 
             return run_sparse
@@ -433,8 +462,9 @@ class Trainer:
         """Optimizer state to persist: unpadded like params; the sparse-SGD
         path keeps no live optax state, so rebuild one with schedule
         counters = step (restores seamlessly into the dense path and vice
-        versa)."""
-        if getattr(self, "_use_sparse", False):
+        versa).  Sparse-ADAM keeps live moments in self.opt_state
+        (replace_adam_state), so it falls through to the normal branches."""
+        if getattr(self, "_use_sparse", False) and self.tc.optimizer == "sgd":
             from tlsan_tpu.train import sparse as sparse_mod
             return sparse_mod.opt_state_with_count(
                 self.opt, self._ckpt_params(), self.step)
