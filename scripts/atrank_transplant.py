@@ -311,9 +311,113 @@ def train(seed: int, max_epochs: int, platform: str = "default"):
     print(f"matched-init (TF seed {seed}) best: {best}")
 
 
+def dump_jax(seed: int):
+    """REVERSE transplant, step 1: write OUR JAX init draw (models/atrank.py
+    init_params at the given seed) into the TF workdir under the reference's
+    variable names, shapes matching the reference graph exactly."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from tlsan_tpu.core.config import ModelConfig
+    from tlsan_tpu.models.atrank import ATRank
+
+    z = np.load(os.path.join(WORKDIR, "transplant_1234.npz"))
+    uc, ic, cc = (int(x) for x in z["meta:counts"])
+    cfg = ModelConfig(model="atrank", user_count=uc, item_count=ic,
+                      cate_count=cc)
+    params = ATRank.init_params(jax.random.PRNGKey(seed), cfg)
+
+    out = {}
+
+    def put(name, arr):
+        out["var:" + name + ":0"] = np.asarray(arr)
+
+    put("item_emb_w", params["item_emb"])
+    put("item_b", params["item_b"])
+    put("cate_emb_w", params["cate_emb"])
+    put("dense/kernel", params["time_w"])
+    put("dense/bias", params["time_b"])
+
+    def put_attn(scope, a):
+        put(f"{scope}/dense/kernel", a["wq"]); put(f"{scope}/dense/bias", a["bq"])
+        put(f"{scope}/dense_1/kernel", a["wk"]); put(f"{scope}/dense_1/bias", a["bk"])
+        put(f"{scope}/dense_2/kernel", a["wv"]); put(f"{scope}/dense_2/bias", a["bv"])
+        put(f"{scope}/ln/Variable", a["ln_beta"])
+        put(f"{scope}/ln/Variable_1", a["ln_gamma"])
+
+    def put_ffn(scope, f):
+        put(f"{scope}/conv1d/kernel", np.asarray(f["w1"])[None])
+        put(f"{scope}/conv1d/bias", f["b1"])
+        put(f"{scope}/conv1d_1/kernel", np.asarray(f["w2"])[None])
+        put(f"{scope}/conv1d_1/bias", f["b2"])
+        put(f"{scope}/ln/Variable", f["ln_beta"])
+        put(f"{scope}/ln/Variable_1", f["ln_gamma"])
+
+    for b, blk in enumerate(params["self_blocks"]):
+        s = f"all/user_hist_group/num_blocks_{b}"
+        put_attn(f"{s}/self_attention", blk["attn"])
+        put_ffn(f"{s}/feed_forward", blk["ffn"])
+    for b, blk in enumerate(params["vanilla_blocks"]):
+        s = f"all/item_feature_group/num_blocks_{b}"
+        put_attn(f"{s}/vanilla_attention", blk["attn"])
+        put_ffn(f"{s}/feed_forward", blk["ffn"])
+
+    path = os.path.join(WORKDIR, f"jax_init_{seed}.npz")
+    np.savez(path, **out)
+    print(f"wrote {path} ({len(out)} variables)")
+
+
+REF_LOADER = '''\
+    sess.run(tf.global_variables_initializer())
+    sess.run(tf.local_variables_initializer())
+    import numpy as _np
+    _z = _np.load(__import__("os").environ["JAX_INIT_NPZ"])
+    _n = 0
+    for _v in tf.trainable_variables():
+      _key = "var:" + _v.name
+      assert _key in _z.files, "missing transplant value for " + _v.name
+      sess.run(tf.assign(_v, _z[_key]))
+      _n += 1
+    print("loaded %d variables from jax init npz" % _n, flush=True)
+'''
+
+
+def reftrain(seed: int):
+    """REVERSE transplant, step 2: run the REFERENCE'S OWN training loop
+    (patched workdir, --fast evals) but with our JAX init draw assigned
+    over the TF init.  If its best AUC falls to our JAX-init envelope, the
+    ~0.01 residual is init-draw + trajectory noise on both sides."""
+    import re
+    src = open(os.path.join(WORKDIR, "train.py")).read()
+    target = ("    sess.run(tf.global_variables_initializer())\n"
+              "    sess.run(tf.local_variables_initializer())\n")
+    assert target in src, "train.py anchor not found"
+    src = src.replace(target, REF_LOADER)
+    # stub the streaming P@k/R@k evals (AUC untouched — 3x faster run;
+    # ATRank's eval_* signature differs from ref_tf_run.patch_fast's)
+    src = re.sub(r"(prec|recall) = eval_\1\(sess, test_set, model\)",
+                 r"\1 = [0.0] * 6  # fast: top-k eval stubbed", src)
+    # train seeds: keep the reference's own (they only drive shuffle now —
+    # the init is overwritten) unless a different stream is requested
+    if seed != 1234:
+        for pat in ("random.seed(1234)", "np.random.seed(1234)",
+                    "tf.set_random_seed(1234)"):
+            src = src.replace(pat, pat.replace("1234", str(seed)))
+    with open(os.path.join(WORKDIR, "train_jaxinit.py"), "w") as f:
+        f.write(src)
+    env = dict(os.environ, TF_CPP_MIN_LOG_LEVEL="3", TF_USE_LEGACY_KERAS="1",
+               JAX_PLATFORMS="cpu",
+               JAX_INIT_NPZ=os.path.join(WORKDIR, f"jax_init_{seed}.npz"))
+    r = subprocess.run([sys.executable, "train_jaxinit.py"],
+                       cwd=WORKDIR, env=env)
+    sys.exit(r.returncode)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("cmd", choices=["dump", "check", "train"])
+    p.add_argument("cmd", choices=["dump", "check", "train", "dump_jax",
+                                   "reftrain"])
     p.add_argument("--train_seed", type=int, default=1234)
     p.add_argument("--max_epochs", type=int, default=10)
     p.add_argument("--platform", default="default", choices=["cpu", "default"])
@@ -322,6 +426,10 @@ def main():
         dump(args.train_seed)
     elif args.cmd == "check":
         sys.exit(check(args.train_seed))
+    elif args.cmd == "dump_jax":
+        dump_jax(args.train_seed)
+    elif args.cmd == "reftrain":
+        reftrain(args.train_seed)
     else:
         train(args.train_seed, args.max_epochs, args.platform)
 
