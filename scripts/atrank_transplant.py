@@ -281,10 +281,12 @@ def check(seed: int):
     return 0 if ok else 1
 
 
-def train(seed: int, max_epochs: int, platform: str = "default"):
+def train(seed: int, max_epochs: int, platform: str = "default",
+          ref_stream: bool = False):
     import jax
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
     import numpy as np
     from tlsan_tpu.core.config import ModelConfig, TrainConfig
     from tlsan_tpu.models.atrank import ATRank
@@ -307,8 +309,36 @@ def train(seed: int, max_epochs: int, platform: str = "default"):
     # transplant: replace the JAX init draw with the reference's TF draw
     tr.params = jax.device_put(params)
     tr.opt_state = tr.opt.init(tr.params)
-    best = tr.train()
-    print(f"matched-init (TF seed {seed}) best: {best}")
+    if not ref_stream:
+        best = tr.train()
+        print(f"matched-init (TF seed {seed}) best: {best}")
+        return
+
+    # TF init + the REFERENCE'S OWN BATCH STREAM: replicate the cumulative
+    # per-epoch random.shuffle(train_set) (ATRank/train.py:14,180) on the
+    # example indices (our builder is bit-exact vs its dataset.pkl, so
+    # index order == its example order) and feed consecutive 32-slices;
+    # the ragged final batch per epoch (<0.2% of examples) is dropped.
+    import random as pyrandom
+    rng = pyrandom.Random(seed)
+    n, B, K = train_b.n, 32, 100
+    order = list(range(n))
+    best_auc, step = 0.0, 0
+    for _ in range(max_epochs):
+        rng.shuffle(order)
+        steps = n // B
+        idx = np.asarray(order[: steps * B], np.int32).reshape(steps, B)
+        for c0 in range(0, steps, K):
+            chunk = idx[c0: c0 + K]
+            tr.params, tr.opt_state, _ = tr._train_chunk(
+                tr.params, tr.opt_state, jnp.asarray(chunk))
+            step += len(chunk)
+            if (step // 1000) > ((step - len(chunk)) // 1000):
+                auc = tr.evaluator.auc(tr.params)
+                best_auc = max(best_auc, auc)
+                print(f"[ref-stream] step={step} auc={auc:.4f}", flush=True)
+    print(f"matched-init+ref-stream (TF seed {seed}) best_auc: "
+          f"{best_auc:.4f}")
 
 
 def dump_jax(seed: int):
@@ -421,6 +451,8 @@ def main():
     p.add_argument("--train_seed", type=int, default=1234)
     p.add_argument("--max_epochs", type=int, default=10)
     p.add_argument("--platform", default="default", choices=["cpu", "default"])
+    p.add_argument("--ref_stream", action="store_true",
+                   help="train: feed the reference's exact shuffle stream")
     args = p.parse_args()
     if args.cmd == "dump":
         dump(args.train_seed)
@@ -431,7 +463,8 @@ def main():
     elif args.cmd == "reftrain":
         reftrain(args.train_seed)
     else:
-        train(args.train_seed, args.max_epochs, args.platform)
+        train(args.train_seed, args.max_epochs, args.platform,
+              args.ref_stream)
 
 
 if __name__ == "__main__":

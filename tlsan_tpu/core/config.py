@@ -133,12 +133,14 @@ class TrainConfig:
     # fused scan: number of train steps executed per device dispatch
     steps_per_call: int = 100
 
-    # touched-row (sparse) vocab-table updates for optimizer='sgd' on a
-    # single device (train/sparse.py); exact vs the dense step.  Measured
-    # on-chip (RESULTS.md round-2 study): the dense XLA step wins below
-    # ~100k total vocab rows (every reference dataset), the sparse step
-    # wins above (sub-linear in vocab vs linear; ~40x at 2M rows).
-    # None = auto by catalog size; True/False force.
+    # touched-row (sparse) vocab-table updates (train/sparse.py) for
+    # optimizer in {'sgd', 'adam'}, composing with the (dp, mp) mesh
+    # (single-process; the multi-process path keeps the dense step); exact
+    # vs the dense step.  Measured on-chip (RESULTS.md round-2 study): the
+    # dense XLA step wins below ~100k total vocab rows (every reference
+    # dataset), the sparse step wins above (sub-linear in vocab vs linear;
+    # ~40x at 2M rows for SGD; Adam's own elementwise moment passes bound
+    # its win to ~2x).  None = auto by catalog size; True/False force.
     sparse_updates: Optional[bool] = None
 
     # auto threshold: total vocab rows (items + users) above which the
