@@ -97,16 +97,19 @@ def main():
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_chunk(params, opt_state, idx):
-        def step(carry, ib):
+        # batch assembly hoisted out of the scan (one gather per array per
+        # chunk; the scan slices [K, B, ...] xs) — mirrors train/loop.py
+        batches = {k: v[idx] for k, v in data.items()}
+
+        def step(carry, batch):
             params, opt_state = carry
-            batch = {k: v[ib] for k, v in data.items()}
             loss, grads = jax.value_and_grad(loss_fn)(params, batch)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), idx, unroll=args.unroll)
+            step, (params, opt_state), batches, unroll=args.unroll)
         return params, opt_state, losses[-1]
 
     K, B = args.steps_per_call, args.batch

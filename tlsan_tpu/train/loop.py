@@ -218,14 +218,20 @@ class Trainer:
         if self.n_proc > 1:
             return self._build_train_chunk_multihost()
 
-        def constrain(batch):
-            """Shard each gathered batch over dp (dataset stays replicated)."""
+        def constrain_k(batches):
+            """Shard the chunk's [K, B, ...] batch arrays over dp on the
+            batch dim (dataset stays replicated)."""
             if mesh is None:
-                return batch
-            from tlsan_tpu.parallel.mesh import batch_spec
-            sh = NamedSharding(mesh, batch_spec())  # trailing dims unsharded
-            return {k: jax.lax.with_sharding_constraint(v, sh)
-                    for k, v in batch.items()}
+                return batches
+            from jax.sharding import PartitionSpec as P
+
+            from tlsan_tpu.parallel.mesh import DP_AXIS
+            out = {}
+            for k, v in batches.items():
+                spec = P(None, DP_AXIS, *([None] * (v.ndim - 2)))
+                out[k] = jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, spec))
+            return out
 
         def loss_fn(params, batch):
             return model.loss(params, batch, cate_list, cfg, use_pallas)
@@ -240,19 +246,24 @@ class Trainer:
         # the tunnel (measured: a 5 ms summary program took 4.5 s to load)
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_chunk(params, opt_state, idx, rng, data):  # idx: [K, B]
-            def step(carry, ib):
+            # hoist the batch assembly out of the scan: ONE random-index
+            # gather per array for the whole chunk, then the scan consumes
+            # [K, B, ...] xs by contiguous slicing — removes ~9 per-step
+            # gathers from the sequential critical path
+            batches = constrain_k({k: v[idx] for k, v in data.items()})
+
+            def step(carry, batch):
                 params, opt_state, rng = carry
-                batch = constrain({k: v[ib] for k, v in data.items()})
                 if use_dropout:
                     rng, sub = jax.random.split(rng)
-                    batch["dropout_rng"] = sub
+                    batch = dict(batch, dropout_rng=sub)
                 loss, grads = jax.value_and_grad(loss_fn)(params, batch)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state, rng), loss
 
             (params, opt_state, rng), losses = jax.lax.scan(
-                step, (params, opt_state, rng), idx)
+                step, (params, opt_state, rng), batches)
             return params, opt_state, rng, jnp.mean(losses)
 
         self._dropout_rng = base_rng

@@ -168,15 +168,23 @@ def make_table_ops(mesh, vocab_sharded: bool):
 
 
 def make_batch_constrain(mesh):
-    """Shard each gathered batch over dp (mirrors the dense mesh path)."""
+    """Shard the chunk's pre-gathered [K, B, ...] batch arrays over dp on
+    the batch dim (mirrors the dense mesh path)."""
     if mesh is None:
-        return lambda batch: batch
-    from jax.sharding import NamedSharding
+        return lambda batches: batches
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from tlsan_tpu.parallel.mesh import batch_spec
-    sh = NamedSharding(mesh, batch_spec())
-    return lambda batch: {k: jax.lax.with_sharding_constraint(v, sh)
-                          for k, v in batch.items()}
+    from tlsan_tpu.parallel.mesh import DP_AXIS
+
+    def constrain(batches):
+        out = {}
+        for k, v in batches.items():
+            spec = P(None, DP_AXIS, *([None] * (v.ndim - 2)))
+            out[k] = jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, spec))
+        return out
+
+    return constrain
 
 
 def make_gather_space(mesh, gather):
@@ -230,14 +238,14 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
     def loss_fn(sub_params, batch, local_cate):
         return model.loss(sub_params, batch, local_cate, cfg, use_pallas)
 
-    def make_step(data):
-      def step(carry, ib):
+    def make_step():
+      def step(carry, batch):
         # scale: lazy L2-decay factor per full-L2 table — the stored array W
         # relates to the true table as T = scale·W, so the per-step decay is
         # O(1) instead of an O(V·D) multiply pass; folded back once per
         # chunk.  q tracks ‖T‖² (true values) for the global-norm clip.
         params, scale, q, step_no, rng = carry
-        batch = constrain({k: v[ib] for k, v in data.items()})
+        batch = dict(batch)
         if use_dropout:
             rng, sub = jax.random.split(rng)
             batch["dropout_rng"] = sub
@@ -313,6 +321,9 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
     # the device program cache (see train/loop.py note)
     @partial(jax.jit, donate_argnums=(0,))
     def chunk(params, step0, idx, rng, data):
+        # batch assembly hoisted out of the scan (one gather per array per
+        # chunk; the scan slices [K, B, ...] xs — see train/loop.py)
+        batches = constrain({k: v[idx] for k, v in data.items()})
         # q = ‖T‖² per decaying table; ONE dense read per fused chunk keeps
         # the in-scan recurrence drift bounded to steps_per_call steps.
         # scale starts at 1 and the accumulated decay is folded back into
@@ -320,7 +331,7 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
         q0 = {t: _sq(params[t]) for t in decay_names}
         s0 = {t: jnp.float32(1.0) for t in decay_names}
         (params, scale, _, _, rng), losses = jax.lax.scan(
-            make_step(data), (params, s0, q0, step0, rng), idx)
+            make_step(), (params, s0, q0, step0, rng), batches)
         for t in decay_names:
             params[t] = params[t] * scale[t]
         return params, rng, jnp.mean(losses)
@@ -366,10 +377,10 @@ def make_sparse_adam_chunk(model, cfg, tc, cate_list, data, params,
     def loss_fn(sub_params, batch, local_cate):
         return model.loss(sub_params, batch, local_cate, cfg, use_pallas)
 
-    def make_step(data):
-      def step(carry, ib):
+    def make_step():
+      def step(carry, batch):
         params, mu, nu, step_no, rng = carry
-        batch = constrain({k: v[ib] for k, v in data.items()})
+        batch = dict(batch)
         if use_dropout:
             rng, sub = jax.random.split(rng)
             batch["dropout_rng"] = sub
@@ -459,8 +470,9 @@ def make_sparse_adam_chunk(model, cfg, tc, cate_list, data, params,
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def chunk(params, mu, nu, step0, idx, rng, data):
+        batches = constrain({k: v[idx] for k, v in data.items()})
         (params, mu, nu, _, rng), losses = jax.lax.scan(
-            make_step(data), (params, mu, nu, step0, rng), idx)
+            make_step(), (params, mu, nu, step0, rng), batches)
         return params, mu, nu, rng, jnp.mean(losses)
 
     return chunk
