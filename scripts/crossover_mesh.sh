@@ -10,8 +10,9 @@ OUT=runs/r3/crossover_mesh.txt
 mkdir -p runs/r3
 : > "$OUT"
 run() { # users items tag sparse-flag
+  # bounded cost: 5 timed chunks (500 steps) per config, not a full epoch
   python scripts/synth_scale.py --users "$1" --items "$2" --cates 673 \
-    --platform cpu --dp 4 --mp 2 --epochs 1 "$4" \
+    --platform cpu --dp 4 --mp 2 --max_chunks 5 "$4" \
     --model_dir "runs/r3/xover_$3" 2>>"$OUT.err" | tail -1 >> "$OUT"
 }
 for cfg in "39991 22048 62k" "150000 60000 210k" "400000 100000 500k"; do

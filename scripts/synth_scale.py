@@ -71,6 +71,11 @@ def main():
                    help="cpu = host CPU (with XLA_FLAGS device count this "
                         "gives a virtual mesh for dp/mp runs)")
     p.add_argument("--model_dir", default="runs/synth_scale")
+    p.add_argument("--max_chunks", type=int, default=0,
+                   help=">0: skip full training; time this many fused "
+                        "chunks directly (1 warmup excluded) and report "
+                        "examples/s — bounded-cost mode for the CPU-mesh "
+                        "sparse-vs-dense crossover study")
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -114,6 +119,29 @@ def main():
                      dp=args.dp, mp=args.mp)
     trainer = Trainer(TLSAN, cfg, tc, cate_list, train_b, test_b,
                       use_pallas=False)
+    if args.max_chunks > 0:
+        import jax as _jax
+        import jax.numpy as jnp
+        idx = trainer._epoch_index(0)[: args.max_chunks + 1]
+        t0 = time.perf_counter()
+        for ci, chunk in enumerate(idx):
+            trainer.params, trainer.opt_state, loss = trainer._train_chunk(
+                trainer.params, trainer.opt_state, jnp.asarray(chunk))
+            _jax.block_until_ready(trainer.params)
+            if ci == 0:  # exclude compile+warmup chunk
+                t0 = time.perf_counter()
+        dt = time.perf_counter() - t0
+        n_ex = args.max_chunks * args.steps_per_call * args.batch
+        print(json.dumps({
+            "metric": "synth_chunk_examples_per_sec",
+            "value": round(n_ex / dt, 1), "unit": "examples/s",
+            "chunks": args.max_chunks, "total_s": round(dt, 1),
+            "users": args.users, "items": args.items,
+            "backend": jax.default_backend(), "sparse": args.sparse,
+            "steps_per_call": args.steps_per_call, "batch": args.batch,
+            "optimizer": args.optimizer, "dp": args.dp, "mp": args.mp,
+        }), flush=True)
+        return
     t0 = time.perf_counter()
     best = trainer.train()
     dt = time.perf_counter() - t0
