@@ -1,0 +1,292 @@
+"""TLSAN param-transplant experiment (round 3 — extends the ATRank
+methodology of scripts/atrank_transplant.py to the HEADLINE model on
+Home-and-Kitchen, where the n=3 seed envelopes show a ~0.009 mean gap).
+
+  dump   — build the reference TLSAN graph (patched workdir from
+           scripts/ref_tf_run.py), init at a train seed, dump initial
+           variables + exact first batch + logits/loss/grads + post-step
+           variables.
+  check  — load into models/tlsan.py and diff everything.
+  train  — matched-init: our full Trainer from the reference's init.
+
+Reference graph: TLSAN/model.py:56-205 (variables: gamma_parameter,
+item_emb/item_b/user_emb/usert_emb/cate_emb, the two
+feature_wise_attention towers' bn_dense_map{1,2}/linear_map/{W,bias}, and
+the pseudo-item dense — attention_net :316-366, _linear :443-454).
+
+Usage:
+  python scripts/ref_tf_run.py --model TLSAN --dataset Home_and_Kitchen \
+      --build-only   # once (workdir already exists from round 2)
+  python scripts/tlsan_transplant.py dump  [--train_seed 1234]
+  python scripts/tlsan_transplant.py check [--train_seed 1234]
+  python scripts/tlsan_transplant.py train [--train_seed 1234]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+WORKDIR = os.path.join(REPO, "runs", "ref_tf", "TLSAN_Home_and_Kitchen")
+
+DUMP_SRC = '''\
+"""Dump the reference TLSAN graph state for the transplant experiment
+(written by scripts/tlsan_transplant.py)."""
+import os, pickle, random, sys
+import numpy as np
+from tf1shim import tf
+from model import Model
+from input import DataInput
+
+SEED = int(sys.argv[1])
+OUT = sys.argv[2]
+
+random.seed(SEED)
+np.random.seed(SEED)
+tf.set_random_seed(SEED)
+
+with open("dataset.pkl", "rb") as f:
+    train_set = pickle.load(f)
+    test_set = pickle.load(f)
+    user_count, item_count, cate_count = pickle.load(f)
+    item_cate_list = pickle.load(f)
+
+# the reference train.py flag defaults (TLSAN/train.py:26-48)
+config = dict(hidden_units=64, num_blocks=1, num_heads=8, Ls=10,
+              dropout=0.0, regulation_rate=5e-5,
+              itemid_embedding_size=32, userid_embedding_size=32,
+              cateid_embedding_size=32, optimizer="sgd",
+              learning_rate=1.0, max_gradient_norm=5.0,
+              model_dir="dump_model_dir",
+              user_count=user_count, item_count=item_count,
+              cate_count=cate_count)
+os.makedirs(config["model_dir"], exist_ok=True)
+
+with tf.Session() as sess:
+    model = Model(config, item_cate_list)
+    sess.run(tf.global_variables_initializer())
+    sess.run(tf.local_variables_initializer())
+    tvars = tf.trainable_variables()
+    payload = {"meta:counts": np.array([user_count, item_count, cate_count]),
+               "meta:cate_list": np.asarray(item_cate_list, np.int64)}
+    for v in tvars:
+        payload["var:" + v.name] = sess.run(v)
+
+    random.shuffle(train_set)
+    _, b = next(iter(DataInput(train_set, 32, config["Ls"])))
+    u, i, y, hist_i, hist_i_new, hist_t, sl, new_sl, c = b
+    batch = dict(u=np.asarray(u, np.int32), i=np.asarray(i, np.int32),
+                 y=np.asarray(y, np.float32), c=np.asarray(c, np.int32),
+                 hist_i=np.asarray(hist_i, np.int32),
+                 hist_i_new=np.asarray(hist_i_new, np.int32),
+                 hist_t=np.asarray(hist_t, np.float32),
+                 sl=np.asarray(sl, np.int32),
+                 sl_new=np.asarray(new_sl, np.int32))
+    for k, v in batch.items():
+        payload["batch:" + k] = v
+
+    feed = {model.u: batch["u"], model.u_cate: batch["c"],
+            model.i: batch["i"], model.y: batch["y"],
+            model.hist_i: batch["hist_i"],
+            model.hist_i_new: batch["hist_i_new"],
+            model.hist_t: batch["hist_t"], model.sl: batch["sl"],
+            model.sl_new: batch["sl_new"], model.is_training: False}
+    logits, loss = sess.run([model.logits, model.loss], feed)
+    payload["out:logits"] = logits
+    payload["out:loss"] = np.float32(loss)
+
+    grads = tf.gradients(model.loss, tvars)
+    dense_grads = [tf.convert_to_tensor(g) for g in grads]
+    vals = sess.run(dense_grads + [tf.global_norm(grads),
+                                   tf.global_norm(dense_grads)], feed)
+    for v, g in zip(tvars, vals[:-2]):
+        payload["grad:" + v.name] = g
+    payload["out:global_norm"] = np.float32(vals[-2])
+    payload["out:global_norm_dense"] = np.float32(vals[-1])
+
+    feed[model.lr] = 1.0
+    feed[model.is_training] = True
+    sess.run(model.train_op, feed)
+    for v in tvars:
+        payload["post:" + v.name] = sess.run(v)
+
+    np.savez(OUT, **payload)
+    print("dumped %s  loss=%.6f  gnorm=%.4f (IndexedSlices) %.4f (dense)"
+          % (OUT, loss, vals[-2], vals[-1]), flush=True)
+'''
+
+
+def dump(seed: int) -> str:
+    out = os.path.join(WORKDIR, f"transplant_{seed}.npz")
+    with open(os.path.join(WORKDIR, "dump_init.py"), "w") as f:
+        f.write(DUMP_SRC)
+    env = dict(os.environ, TF_CPP_MIN_LOG_LEVEL="3", TF_USE_LEGACY_KERAS="1",
+               JAX_PLATFORMS="cpu")
+    subprocess.run([sys.executable, "dump_init.py", str(seed), out],
+                   cwd=WORKDIR, check=True, env=env)
+    return out
+
+
+def load_tf_tree(z, prefix="var", num_blocks=1):
+    """Map the dumped TF variables onto models/tlsan.py's param tree."""
+    import jax.numpy as jnp
+
+    used = set()
+
+    def g(name):
+        used.add(f"var:{name}:0")
+        return jnp.asarray(z[f"{prefix}:{name}:0"])
+
+    def fwa(scope):
+        return {
+            "w1": g(f"{scope}/bn_dense_map1/linear_map/W"),
+            "b1": g(f"{scope}/bn_dense_map1/linear_map/bias"),
+            "w2": g(f"{scope}/bn_dense_map2/linear_map/W"),
+            "b2": g(f"{scope}/bn_dense_map2/linear_map/bias"),
+        }
+
+    p = {
+        "gamma": g("gamma_parameter"),
+        "item_emb": g("item_emb"), "item_b": g("item_b"),
+        "user_emb": g("user_emb"), "usert_emb": g("usert_emb"),
+        "cate_emb": g("cate_emb"),
+        "long": [], "short": [],
+    }
+    for b in range(num_blocks):
+        s = f"all/long_term/num_blocks0_{b}"
+        blk = fwa(f"{s}/long_term_layer/feature_wise_attention1")
+        blk["proj_w"] = g(f"{s}/dense/kernel")
+        blk["proj_b"] = g(f"{s}/dense/bias")
+        p["long"].append(blk)
+        s = f"all/short_term/num_blocks1_{b}"
+        p["short"].append(
+            fwa(f"{s}/short_term_layer/feature_wise_attention2"))
+    have = {k for k in z.files if k.startswith("var:")}
+    unmatched = sorted(have - used)
+    if unmatched:
+        raise SystemExit(f"unmatched TF variables: {unmatched}")
+    return p
+
+
+def _cfg_and_batch(z):
+    import jax.numpy as jnp
+    from tlsan_tpu.core.config import ModelConfig
+    uc, ic, cc = (int(x) for x in z["meta:counts"])
+    cfg = ModelConfig(model="tlsan", user_count=uc, item_count=ic,
+                      cate_count=cc, Ls=10,
+                      Ts=int(z["batch:hist_i_new"].shape[1]))
+    batch = {k[len("batch:"):]: jnp.asarray(z[k]) for k in z.files
+             if k.startswith("batch:")}
+    cate_list = jnp.asarray(z["meta:cate_list"].astype("int32"))
+    return cfg, batch, cate_list
+
+
+def check(seed: int):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from tlsan_tpu.models import base
+    from tlsan_tpu.models.tlsan import TLSAN
+
+    z = np.load(os.path.join(WORKDIR, f"transplant_{seed}.npz"))
+    params = load_tf_tree(z, "var")
+    cfg, batch, cate_list = _cfg_and_batch(z)
+
+    def rel(a, b):
+        # floor 1e-8: the FWA bn_dense_map2 biases have an exactly-zero
+        # true gradient (a per-feature constant shifts every timestep of a
+        # softmax-over-time equally), so both sides hold ~1e-11 f32
+        # cancellation noise there — sub-resolution, not a difference
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-8))
+
+    u_t = TLSAN.user_repr(params, batch, cate_list, cfg, use_pallas=False)
+    ie, ib = TLSAN.item_repr(params, batch["i"], cate_list, cfg)
+    logits = base.pointwise_logits(u_t, ie, ib)
+    r_logits = rel(logits, z["out:logits"])
+    print(f"forward logits   max rel diff = {r_logits:.3e}")
+
+    loss = TLSAN.loss(params, batch, cate_list, cfg, use_pallas=False)
+    r_loss = abs(float(loss) - float(z["out:loss"])) / abs(float(z["out:loss"]))
+    print(f"loss             ours={float(loss):.6f} "
+          f"ref={float(z['out:loss']):.6f} rel diff = {r_loss:.3e}")
+
+    g = jax.grad(lambda p: TLSAN.loss(p, batch, cate_list, cfg,
+                                      use_pallas=False))(params)
+    g_ref = load_tf_tree(z, "grad")
+    leaves, _ = jax.tree_util.tree_flatten(g)
+    leaves_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    gnorm = float(jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves)))
+    gd, gi = float(z["out:global_norm_dense"]), float(z["out:global_norm"])
+    worst = max(rel(a, b) for a, b in zip(leaves, leaves_ref))
+    print(f"grad global norm ours={gnorm:.5f} ref(dense)={gd:.5f} "
+          f"rel diff = {abs(gnorm-gd)/gd:.3e}")
+    print(f"  [semantic note] TF clips by the IndexedSlices norm = {gi:.5f} "
+          f"({abs(gi-gd)/gd*100:.2f}% off dense; matters only when >5.0)")
+    print(f"per-var grads    worst max rel diff = {worst:.3e}")
+
+    opt = optax.chain(optax.clip_by_global_norm(5.0), optax.sgd(1.0))
+    upd, _ = opt.update(g, opt.init(params), params)
+    stepped = optax.apply_updates(params, upd)
+    post_ref = load_tf_tree(z, "post")
+    s_leaves, _ = jax.tree_util.tree_flatten(stepped)
+    p_leaves, _ = jax.tree_util.tree_flatten(post_ref)
+    worst_post = max(rel(a, b) for a, b in zip(s_leaves, p_leaves))
+    print(f"post-step vars   worst max rel diff = {worst_post:.3e}")
+
+    ok = (r_logits < 1e-4 and r_loss < 1e-4 and abs(gnorm - gd) / gd < 1e-3
+          and worst < 1e-2 and worst_post < 1e-2)
+    print("TLSAN TRANSPLANT CHECK:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def train(seed: int, max_epochs: int, platform: str = "default"):
+    import jax
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from tlsan_tpu.core.config import ModelConfig, TrainConfig
+    from tlsan_tpu.models.tlsan import TLSAN
+    from tlsan_tpu.train.cli import prepare
+    from tlsan_tpu.train.loop import Trainer
+
+    z = np.load(os.path.join(WORKDIR, f"transplant_{seed}.npz"))
+    params = load_tf_tree(z, "var")
+    cfg = ModelConfig(model="tlsan")
+    data = "/root/reference/Data/Home_and_Kitchen.pkl"
+    train_b, test_b, cate_list, cfg = prepare("tlsan", data, cfg, 1234)
+    tc = TrainConfig(model_dir=f"runs/tlsan_transplant_s{seed}",
+                     optimizer="sgd", learning_rate=1.0,
+                     lr_drop_step=150_000, max_epochs=max_epochs,
+                     train_batch_size=32, test_batch_size=128,
+                     eval_freq=1000, seed=seed, save_auc_gate=0.8,
+                     best_after_step=0, tb_histograms=False)
+    tr = Trainer(TLSAN, cfg, tc, cate_list, train_b, test_b,
+                 use_pallas=False)
+    tr.params = jax.device_put(params)
+    tr.opt_state = tr.opt.init(tr.params)
+    best = tr.train()
+    print(f"matched-init TLSAN (TF seed {seed}) best: {best}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("cmd", choices=["dump", "check", "train"])
+    p.add_argument("--train_seed", type=int, default=1234)
+    p.add_argument("--max_epochs", type=int, default=20)
+    p.add_argument("--platform", default="default", choices=["cpu", "default"])
+    args = p.parse_args()
+    if args.cmd == "dump":
+        dump(args.train_seed)
+    elif args.cmd == "check":
+        sys.exit(check(args.train_seed))
+    else:
+        train(args.train_seed, args.max_epochs, args.platform)
+
+
+if __name__ == "__main__":
+    main()
