@@ -218,9 +218,10 @@ class Trainer:
         if self.n_proc > 1:
             return self._build_train_chunk_multihost()
 
-        def constrain_k(batches):
-            """Shard the chunk's [K, B, ...] batch arrays over dp on the
-            batch dim (dataset stays replicated)."""
+        def constrain_k(batches, lead_dims=2):
+            """Shard batch arrays over dp on the batch dim (dataset stays
+            replicated): [K, B, ...] chunks (lead_dims=2) or single [B, ...]
+            batches (lead_dims=1)."""
             if mesh is None:
                 return batches
             from jax.sharding import PartitionSpec as P
@@ -228,7 +229,8 @@ class Trainer:
             from tlsan_tpu.parallel.mesh import DP_AXIS
             out = {}
             for k, v in batches.items():
-                spec = P(None, DP_AXIS, *([None] * (v.ndim - 2)))
+                lead = [None] * (lead_dims - 1) + [DP_AXIS]
+                spec = P(*lead, *([None] * (v.ndim - lead_dims)))
                 out[k] = jax.lax.with_sharding_constraint(
                     v, NamedSharding(mesh, spec))
             return out
@@ -244,16 +246,24 @@ class Trainer:
         # second big-constant executable (summaries/eval) then thrashes
         # the device program cache with multi-second re-uploads through
         # the tunnel (measured: a 5 ms summary program took 4.5 s to load)
+        # Hoisting the batch assembly out of the scan (one [K, B, ...]
+        # gather per array; the scan slices contiguous xs) removes ~9
+        # per-step gathers from the sequential critical path — measured
+        # +5% at b32 (289.5k ex/s, latency-bound regime).  At b512 the
+        # materialized chunk costs extra HBM round-trips and measured −9%,
+        # so large batches keep the in-scan gathers (runs/r3/bench_hoist_*).
+        hoist = self.tc.train_batch_size <= 128
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_chunk(params, opt_state, idx, rng, data):  # idx: [K, B]
-            # hoist the batch assembly out of the scan: ONE random-index
-            # gather per array for the whole chunk, then the scan consumes
-            # [K, B, ...] xs by contiguous slicing — removes ~9 per-step
-            # gathers from the sequential critical path
-            batches = constrain_k({k: v[idx] for k, v in data.items()})
+            xs = (constrain_k({k: v[idx] for k, v in data.items()})
+                  if hoist else idx)
 
-            def step(carry, batch):
+            def step(carry, x):
                 params, opt_state, rng = carry
+                batch = (dict(x) if hoist
+                         else constrain_k({k: v[x] for k, v in data.items()},
+                                          lead_dims=1))
                 if use_dropout:
                     rng, sub = jax.random.split(rng)
                     batch = dict(batch, dropout_rng=sub)
@@ -263,7 +273,7 @@ class Trainer:
                 return (params, opt_state, rng), loss
 
             (params, opt_state, rng), losses = jax.lax.scan(
-                step, (params, opt_state, rng), batches)
+                step, (params, opt_state, rng), xs)
             return params, opt_state, rng, jnp.mean(losses)
 
         self._dropout_rng = base_rng
