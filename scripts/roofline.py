@@ -39,16 +39,15 @@ HBM_GBS = 819.0       # v5e HBM bandwidth, GB/s
 PEAK_BF16_TFLOPS = 197.0
 
 
-def time_chunk(fn, *args, reps=3, block):
-    fn(*args)  # compile + warm
-    block()
+def time_at(fn, reps=3):
+    """Best-of-reps wall time of fn() (fn must block internally)."""
+    fn()  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        block()
+        fn()
         best = min(best, time.perf_counter() - t0)
-    return best, out
+    return best
 
 
 def main():
@@ -137,63 +136,71 @@ def main():
         acc, _ = jax.lax.scan(step, (jnp.float32(0), jnp.float32(0)), idx)
         return acc
 
+    # production rule (train/loop.py): batch assembly hoisted out of the
+    # scan at B<=128 (latency-bound), in-scan at large B (bandwidth-bound)
+    hoist = B <= 128
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def chunk_full(params, opt_state, idx, data):
-        def step(carry, ib):
+        xs = {k: v[idx] for k, v in data.items()} if hoist else idx
+
+        def step(carry, x):
             params, opt_state = carry
-            b = {k: v[ib] for k, v in data.items()}
+            b = x if hoist else {k: v[x] for k, v in data.items()}
             loss, grads = jax.value_and_grad(loss_fn)(params, b)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), idx)
+            step, (params, opt_state), xs)
         return params, opt_state, losses[-1]
 
-    t_gather, _ = time_chunk(
-        lambda: jax.block_until_ready(chunk_gather(params0, idx, data)),
-        block=lambda: None)
-    t_fwd, _ = time_chunk(
-        lambda: jax.block_until_ready(chunk_fwd(params0, idx, data)),
-        block=lambda: None)
-    t_fwdbwd, _ = time_chunk(
-        lambda: jax.block_until_ready(chunk_fwd_bwd(params0, idx, data)),
-        block=lambda: None)
+    # Per-step times from the SLOPE over two chunk lengths: t(K) = a + b·K.
+    # The intercept a (tunnel dispatch RPC ≈ 25 ms/chunk here, param-copy
+    # setup, host sync) cancels out of b, so stage times are true on-device
+    # per-step costs — the single-K version inflated every absolute stage
+    # by ~a/K (VERDICT r2 #4 follow-up).
+    K1, K2 = K, 3 * K
+    idx1 = idx
+    idx2 = jnp.asarray(rng.integers(0, n, (K2, B)), jnp.int32)
 
-    # full step mutates params: re-init per timing rep
-    times = []
-    for _ in range(3):
+    def slope(run):
+        t1 = time_at(lambda: run(idx1))
+        t2 = time_at(lambda: run(idx2))
+        b = (t2 - t1) / (K2 - K1)
+        return b, t1 - b * K1
+
+    t_gather, fix_g = slope(lambda i: jax.block_until_ready(
+        chunk_gather(params0, i, data)))
+    t_fwd, _ = slope(lambda i: jax.block_until_ready(
+        chunk_fwd(params0, i, data)))
+    t_fwdbwd, _ = slope(lambda i: jax.block_until_ready(
+        chunk_fwd_bwd(params0, i, data)))
+
+    def run_full(i):
         params = jax.tree_util.tree_map(jnp.copy, params0)
         opt_state = opt.init(params)
-        params, opt_state, _ = chunk_full(params, opt_state, idx, data)
-        jax.block_until_ready(params)  # compiled & warm
-        params = jax.tree_util.tree_map(jnp.copy, params0)
-        opt_state = opt.init(params)
+        params, opt_state, _ = chunk_full(params, opt_state, i, data)
         jax.block_until_ready(params)
-        t0 = time.perf_counter()
-        params, opt_state, _ = chunk_full(params, opt_state, idx, data)
-        jax.block_until_ready(params)
-        times.append(time.perf_counter() - t0)
-    t_full = min(times)
+
+    t_full, fix_full = slope(run_full)
 
     t_sparse = None
     if args.sparse:
         from tlsan_tpu.train import sparse as sparse_mod
         chunk_sp = sparse_mod.make_sparse_chunk(
             TLSAN, cfg, tc, cate_list, data, params0, False, lr_schedule(tc))
-        times = []
-        for _ in range(3):
+
+        def run_sparse(i):
             params = jax.tree_util.tree_map(jnp.copy, params0)
-            pr = jax.random.PRNGKey(0)
-            out = chunk_sp(params, jnp.int32(0), idx, pr, data)
+            out = chunk_sp(params, jnp.int32(0), i, jax.random.PRNGKey(0),
+                           data)
             jax.block_until_ready(out[0])
-            params = jax.tree_util.tree_map(jnp.copy, params0)
-            jax.block_until_ready(params)
-            t0 = time.perf_counter()
-            out = chunk_sp(params, jnp.int32(0), idx, pr, data)
-            jax.block_until_ready(out[0])
-            times.append(time.perf_counter() - t0)
-        t_sparse = min(times)
+
+        t_sparse, _ = slope(run_sparse)
+    print(f"# fixed per-chunk overhead (dispatch RPC + setup): "
+          f"{fix_full*1e3:.1f} ms full / {fix_g*1e3:.1f} ms gather-only",
+          flush=True)
 
     # ---- analytic bytes per step ----
     D = cfg.itemid_embedding_size
@@ -222,17 +229,16 @@ def main():
     minimal_step_bytes = (3 * touched_bytes + 4 * dense_w_bytes
                           + batch_bytes + act_bytes)
 
-    def row(name, t_chunk, bytes_per_step=None):
-        us = t_chunk / K * 1e6
-        out = f"| {name} | {us:8.1f} |"
+    def row(name, t_step, bytes_per_step=None):
+        out = f"| {name} | {t_step*1e6:8.1f} |"
         if bytes_per_step is not None:
-            sol = bytes_per_step / (t_chunk / K) / (HBM_GBS * 1e9) * 100
+            sol = bytes_per_step / t_step / (HBM_GBS * 1e9) * 100
             out += f" {bytes_per_step/1e6:7.3f} | {sol:5.1f}% |"
         else:
             out += " — | — |"
         return out
 
-    eps = K * B / t_full
+    eps = B / t_full
     print(f"\n## whole-step roofline — {args.dataset} b{B} "
           f"({eps:,.0f} ex/s full step)\n")
     print("| stage | µs/step | MB/step (algorithmic) | % HBM SoL |")
@@ -251,17 +257,17 @@ def main():
           f"{sol_s*1e6:.2f} µs/step ({B/sol_s:,.0f} ex/s SoL)")
     print(json.dumps({
         "metric": f"roofline_{args.dataset}_b{B}",
-        "full_us_per_step": round(t_full / K * 1e6, 2),
-        "gather_us": round(t_gather / K * 1e6, 2),
-        "fwd_delta_us": round((t_fwd - t_gather) / K * 1e6, 2),
-        "bwd_delta_us": round((t_fwdbwd - t_fwd) / K * 1e6, 2),
-        "opt_delta_us": round((t_full - t_fwdbwd) / K * 1e6, 2),
-        "sparse_us_per_step": (round(t_sparse / K * 1e6, 2)
+        "full_us_per_step": round(t_full * 1e6, 2),
+        "gather_us": round(t_gather * 1e6, 2),
+        "fwd_delta_us": round((t_fwd - t_gather) * 1e6, 2),
+        "bwd_delta_us": round((t_fwdbwd - t_fwd) * 1e6, 2),
+        "opt_delta_us": round((t_full - t_fwdbwd) * 1e6, 2),
+        "sparse_us_per_step": (round(t_sparse * 1e6, 2)
                                if t_sparse else None),
         "dense_bytes_mb": round(dense_step_bytes / 1e6, 3),
         "minimal_bytes_mb": round(minimal_step_bytes / 1e6, 3),
         "full_pct_hbm_sol": round(
-            dense_step_bytes / (t_full / K) / (HBM_GBS * 1e9) * 100, 1),
+            dense_step_bytes / t_full / (HBM_GBS * 1e9) * 100, 1),
         "examples_per_s": round(eps, 0),
     }), flush=True)
 
