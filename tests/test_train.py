@@ -67,6 +67,37 @@ def test_loss_decreases(tiny):
     assert losses[-1] < losses[0]
 
 
+def test_large_batch_chunk_matches_hoisted(tmp_path):
+    """The dense chunk has two batch-assembly variants (hoisted [K,B,...]
+    xs for B<=128, in-scan gathers above — measured split, train/loop.py).
+    Driving the SAME [K, B=160] index stream through both must give the
+    same losses.  (The tc.train_batch_size only picks the variant at
+    build time; the fed idx shape is what matters.)"""
+    import dataclasses
+
+    train, test, cate_list = synthetic(n=512)
+    cfg = ModelConfig(model="tlsan", user_count=20, item_count=30,
+                      cate_count=5, Ls=10, Ts=8)
+    tc = TrainConfig(model_dir=str(tmp_path / "big"), max_epochs=1,
+                     train_batch_size=160, test_batch_size=64,
+                     steps_per_call=2, eval_freq=10**9, best_after_step=0)
+    tr = Trainer(TLSAN, cfg, tc, cate_list, train, test, use_pallas=False)
+    idx = tr._epoch_index(0)[0]  # [2, 160]
+    _, _, loss_inscan = tr._train_chunk(
+        jax.tree_util.tree_map(lambda x: x.copy(), tr.params),
+        jax.tree_util.tree_map(lambda x: x.copy(), tr.opt_state), idx)
+
+    # rebuild the chunk with a small-batch tc so the hoisted branch is
+    # compiled, then feed it the identical B=160 stream
+    tr.tc = dataclasses.replace(tc, train_batch_size=32)
+    hoisted_chunk = tr._build_train_chunk()
+    tr.tc = tc
+    _, _, loss_hoist = hoisted_chunk(tr.params, tr.opt_state, idx)
+
+    np.testing.assert_allclose(float(loss_hoist), float(loss_inscan),
+                               rtol=1e-6)
+
+
 def test_full_train_writes_artifacts(tiny):
     train, test, cate_list, cfg, tc = tiny
     tr = Trainer(TLSAN, cfg, tc, cate_list, train, test, use_pallas=False)
