@@ -106,6 +106,31 @@ def test_lspm_featurize_right_aligned_window(category):
     assert int(got["sl"][0]) == min(len(win), 5)
 
 
+@pytest.mark.parametrize("model_name", ["tlsan", "atrank", "shan", "csan",
+                                        "lspm", "paca", "cnn", "bilstm",
+                                        "bpr"])
+def test_featurize_all_families_shapes(model_name):
+    """Every family featurizes a raw request into its iterator layout."""
+    cfg = ModelConfig(model=model_name, Ls=10, Ts=8, max_length=16,
+                      lspm_k=5)
+    cate_list = np.arange(50, dtype=np.int32) % 5
+    events = [(3, 10), (7, 10), (11, 12), (4, 15), (9, 15)]
+    b = featurize(model_name, cfg, events, user_id=2, cate_list=cate_list)
+    assert all(v.shape[0] == 1 for v in b.values())
+    if model_name == "bpr":
+        assert set(b) == {"u"}
+        return
+    assert "hist_i" in b and "sl" in b
+    if model_name in ("tlsan", "shan"):
+        assert int(b["sl_new"][0]) == 2      # two items on the last day
+        assert int(b["sl"][0]) == 3          # three before it
+    if model_name in ("atrank", "csan"):
+        assert int(b["i"][0]) == 9           # query = latest item
+    if model_name == "tlsan":
+        assert b["hist_t"].shape == (1, 10)
+        assert 0.0 < b["hist_t"][0, 0] <= 1.0   # reciprocal buckets
+
+
 def test_featurize_many_batches_rows(category):
     _, cate_list, _, events_by_user = category
     cfg = ModelConfig(model="tlsan", Ls=10, Ts=16)
