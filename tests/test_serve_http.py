@@ -25,6 +25,7 @@ def server():
     params = TLSAN.init_params(jax.random.PRNGKey(0), cfg)
     rec = Recommender(TLSAN, params, cate_list, cfg, k=5, batch_size=8)
     service = RecommendService(rec, "tlsan", cfg, cate_list)
+    service.start_worker_thread()  # CPU backend: worker thread is fine
     httpd = serve(service, port=0, host="127.0.0.1")  # ephemeral port
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()

@@ -33,14 +33,41 @@ from tlsan_tpu.serve.featurize import featurize_many
 
 
 class RecommendService:
-    """Featurize → score → top-k; thread-safe around the device."""
+    """Featurize → score → top-k.
+
+    ALL device work runs on ONE executor loop (HTTP handler threads
+    enqueue and wait).  On the axon TPU backend that loop MUST be the
+    thread that initialized JAX (typically main — device calls from other
+    threads hang in the experimental plugin), so the CLI runs the HTTP
+    server in a background thread and `run_worker()` on main.  On CPU
+    (tests) `start_worker_thread()` is fine."""
 
     def __init__(self, rec, model_name: str, cfg, cate_list):
+        import queue
         self.rec = rec
         self.model_name = model_name
         self.cfg = cfg
         self.cate_list = np.asarray(cate_list)
-        self._lock = threading.Lock()
+        self._q: "queue.Queue" = queue.Queue()
+
+    def run_worker(self, stop: Optional[threading.Event] = None):
+        """Blocking executor loop; call from the JAX-owning thread."""
+        import queue
+        while stop is None or not stop.is_set():
+            try:
+                batch, box, done = self._q.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            try:
+                box.append(self.rec.recommend(batch))
+            except Exception as e:  # surfaced to the waiting handler
+                box.append(e)
+            done.set()
+
+    def start_worker_thread(self):
+        t = threading.Thread(target=self.run_worker, daemon=True)
+        t.start()
+        return t
 
     def info(self):
         return {"status": "ok", "model": self.model_name,
@@ -50,8 +77,13 @@ class RecommendService:
     def recommend(self, requests, k: Optional[int] = None):
         batch = featurize_many(self.model_name, self.cfg, requests,
                                cate_list=self.cate_list)
-        with self._lock:
-            ids, scores = self.rec.recommend(batch)
+        box: list = []
+        done = threading.Event()
+        self._q.put((batch, box, done))
+        done.wait()
+        if isinstance(box[0], Exception):
+            raise box[0]
+        ids, scores = box[0]
         k = min(k or self.rec.k, ids.shape[1])
         return [{"items": ids[r, :k].tolist(),
                  "scores": [round(float(s), 4) for s in scores[r, :k]]}
@@ -128,8 +160,11 @@ def main(argv=None):
                                cate_list)
     httpd = serve(service, args.port, args.host)
     print(f"serving {service.info()} on {args.host}:{args.port}", flush=True)
+    # HTTP accept loop in the background; the DEVICE executor on this
+    # (JAX-owning) thread — required by the axon TPU plugin
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
     try:
-        httpd.serve_forever()
+        service.run_worker()
     except KeyboardInterrupt:
         httpd.shutdown()
 
