@@ -227,6 +227,12 @@ def check(seed: int):
     params = load_tf_tree(z, "var")
     cfg, batch, cate_list = _cfg_and_batch(z)
 
+    # exactness harness: pin the bitwise scatter VJP (the default one-hot
+    # matmul backward carries ~1e-6 f32 reorder noise — nn/embedding.py)
+    from tlsan_tpu.nn import embedding as emb
+    _gb = emb.gather_bwd("take")
+    _gb.__enter__()
+
     def rel(a, b):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         denom = max(np.max(np.abs(b)), 1e-12)
@@ -309,6 +315,11 @@ def train(seed: int, max_epochs: int, platform: str = "default",
     # transplant: replace the JAX init draw with the reference's TF draw
     tr.params = jax.device_put(params)
     tr.opt_state = tr.opt.init(tr.params)
+    # matched-init curves compare against scatter-VJP-era measurements:
+    # keep them bitwise-reproducible (nn/embedding.py gather_bwd)
+    from tlsan_tpu.nn import embedding as emb
+    _gb = emb.gather_bwd("take")
+    _gb.__enter__()
     if not ref_stream:
         best = tr.train()
         print(f"matched-init (TF seed {seed}) best: {best}")

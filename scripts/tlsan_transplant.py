@@ -196,6 +196,13 @@ def check(seed: int):
     params = load_tf_tree(z, "var")
     cfg, batch, cate_list = _cfg_and_batch(z)
 
+    # this harness asserts 1e-7-level grad exactness vs TF's scatter-add:
+    # pin the bitwise scatter VJP (the default one-hot matmul backward
+    # carries ~1e-6 f32 reorder noise — nn/embedding.py)
+    from tlsan_tpu.nn import embedding as emb
+    _gb = emb.gather_bwd("take")
+    _gb.__enter__()
+
     def rel(a, b):
         # floor 1e-8: the FWA bn_dense_map2 biases have an exactly-zero
         # true gradient (a per-feature constant shifts every timestep of a
@@ -269,7 +276,11 @@ def train(seed: int, max_epochs: int, platform: str = "default"):
                  use_pallas=False)
     tr.params = jax.device_put(params)
     tr.opt_state = tr.opt.init(tr.params)
-    best = tr.train()
+    # matched-init curves are compared against round-2/3 measurements made
+    # with the scatter VJP; keep them bitwise-reproducible
+    from tlsan_tpu.nn import embedding as emb
+    with emb.gather_bwd("take"):
+        best = tr.train()
     print(f"matched-init TLSAN (TF seed {seed}) best: {best}")
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import threading
 from contextlib import contextmanager
 
+import jax
 import jax.numpy as jnp
 
 _state = threading.local()
@@ -48,6 +49,76 @@ def current_batch_mesh():
     return getattr(_state, "ctx", (None, False))[0]
 
 
+# --- matmul-backward gather -------------------------------------------------
+#
+# TPU row-gather runs on the scalar/vector units; its VJP (scatter-add into
+# zeros_like(table)) is the single most expensive part of the small-model
+# train step (measured: 213 us of a 316 us fwd+bwd gather at b512xT90 into a
+# [1583, 64] table vs 172 us TOTAL for the one-hot-matmul form -
+# runs/r3/bench_gather_v1583b.txt).  `lookup` therefore keeps jnp.take for
+# the FORWARD (fastest and bit-exact; eval/serving never differentiates) and
+# replaces only the backward scatter with dtable = onehot(ids)^T @ dy on the
+# MXU at HIGHEST precision.  The replacement is exact up to f32 summation
+# order (measured max rel diff 3e-7, the same class of reorder noise XLA's
+# unordered scatter-add already carries).
+#
+# Cost model: the matmul backward is O(R*V*D) FLOPs vs the scatter's ~O(R*D)
+# bytes, so it only wins for small vocabularies; the auto threshold below
+# comes from the on-chip V-sweep (runs/r3/bench_gather_v*.txt).  Large-vocab
+# regimes are exactly where the touched-row sparse path (train/sparse.py)
+# takes over anyway.
+
+# engage the matmul backward when V <= this (on-chip crossover sweep)
+ONEHOT_BWD_MAX_V = 8192
+# and when the gather is big enough for the MXU to matter
+ONEHOT_BWD_MIN_ROWS = 1024
+
+
+@contextmanager
+def gather_bwd(mode: str):
+    """Force the gather-backward strategy at trace time: 'auto' (default),
+    'take' (always scatter-add - bitwise-reproducible vs round-2 traces),
+    or 'onehot' (always matmul, ignoring the size heuristic)."""
+    assert mode in ("auto", "take", "onehot"), mode
+    prev = getattr(_state, "gather_bwd", "auto")
+    _state.gather_bwd = mode
+    try:
+        yield
+    finally:
+        _state.gather_bwd = prev
+
+
+def gather_bwd_mode() -> str:
+    return getattr(_state, "gather_bwd", "auto")
+
+
+@jax.custom_vjp
+def _take_matmul_bwd(table, ids):
+    return jnp.take(table, ids, axis=0)
+
+
+def _take_matmul_bwd_fwd(table, ids):
+    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+
+
+def _take_matmul_bwd_bwd(res, ct):
+    ids, V = res
+    flat = ids.reshape(-1)
+    ct2 = ct.reshape(flat.shape[0], ct.shape[-1])
+    # one-hot 0/1 entries and the bf16x6 split of the f32 cotangent make the
+    # product exact per term; only cross-row accumulation order differs from
+    # the scatter-add
+    oh = jax.nn.one_hot(flat, V, dtype=jnp.float32)
+    dtable = jax.lax.dot_general(
+        oh, ct2, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return dtable, None
+
+
+_take_matmul_bwd.defvjp(_take_matmul_bwd_fwd, _take_matmul_bwd_bwd)
+
+
 def lookup(table, ids):
     """Gather rows of an embedding table ([V, D] or [V] bias)."""
     mesh = current_mesh()
@@ -55,4 +126,11 @@ def lookup(table, ids):
         from tlsan_tpu.parallel.sharded_embedding import sharded_lookup
 
         return sharded_lookup(mesh, table, ids)
+    mode = gather_bwd_mode()
+    ids = jnp.asarray(ids)
+    if (table.ndim == 2 and mode != "take"
+            and (mode == "onehot"
+                 or (table.shape[0] <= ONEHOT_BWD_MAX_V
+                     and ids.size >= ONEHOT_BWD_MIN_ROWS))):
+        return _take_matmul_bwd(table, ids)
     return jnp.take(table, ids, axis=0)

@@ -248,6 +248,14 @@ def main(argv=None):
                         "vocab rows, sparse above; RESULTS.md study)")
     p.add_argument("--no_sparse", dest="sparse_updates", action="store_false",
                    help="force dense [V,D] table updates")
+    p.add_argument("--gather_bwd", choices=["auto", "take", "onehot"],
+                   default="auto",
+                   help="embedding-gather backward strategy: 'auto' "
+                        "(default) replaces the scatter-add VJP with a "
+                        "one-hot matmul for small vocab tables (measured "
+                        "~2x on the gather+scatter path, exact to f32 "
+                        "reorder noise — nn/embedding.py); 'take' keeps "
+                        "the bitwise round-2 scatter path")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few train chunks "
                         "before training")
@@ -346,12 +354,14 @@ def main(argv=None):
           flush=True)
 
     model = get_model(args.model)
-    trainer = Trainer(model, cfg, tc, cate_list, train_b, test_b,
-                      use_pallas=args.use_pallas)
-    if args.profile:
-        out = trainer.profile_trace()
-        print(f"profiler trace written to {out}", flush=True)
-    best = trainer.train()
+    from tlsan_tpu.nn import embedding as _emb
+    with _emb.gather_bwd(args.gather_bwd):
+        trainer = Trainer(model, cfg, tc, cate_list, train_b, test_b,
+                          use_pallas=args.use_pallas)
+        if args.profile:
+            out = trainer.profile_trace()
+            print(f"profiler trace written to {out}", flush=True)
+        best = trainer.train()
     print(f"best: {best}", flush=True)
     return best
 
