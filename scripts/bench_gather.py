@@ -45,6 +45,12 @@ def main():
     p.add_argument("--K2", type=int, default=200)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--platform", default=None, choices=["cpu", "default"])
+    p.add_argument("--variants", default=None,
+                   help="comma-separated variant subset (each scan is a "
+                        "fresh multi-minute remote-AOT compile — trim to "
+                        "what the question needs)")
+    p.add_argument("--modes", default="fwd,fwd+bwd",
+                   help="comma-separated subset of {fwd,fwd+bwd}")
     args = p.parse_args()
 
     import jax
@@ -125,6 +131,12 @@ def main():
                 "custom_dh": _custom((jax.lax.Precision.DEFAULT,
                                       jax.lax.Precision.HIGH))}
 
+    if args.variants:
+        keep = args.variants.split(",")
+        unknown = [k for k in keep if k not in variants]
+        assert not unknown, f"unknown variants: {unknown}"
+        variants = {k: variants[k] for k in keep}
+
     # exactness check (fwd values AND table grads vs the gather/scatter path)
     ref = np.asarray(g_take(table, ids))
     gref = np.asarray(jax.jit(jax.grad(
@@ -165,7 +177,9 @@ def main():
     out = {"V": V, "D": D, "rows": R,
            "backend": jax.devices()[0].platform}
     print(f"# V={V} D={D} rows={R} backend={jax.devices()[0].platform}")
-    for mode, mk in (("fwd", fwd_scan), ("fwd+bwd", bwd_scan)):
+    modes = [(m, {"fwd": fwd_scan, "fwd+bwd": bwd_scan}[m])
+             for m in args.modes.split(",")]
+    for mode, mk in modes:
         for name, fn in variants.items():
             t1 = time_call(mk(fn, args.K1), args.reps)
             t2 = time_call(mk(fn, args.K2), args.reps)

@@ -59,7 +59,9 @@ def _grad_uses_onehot(table, ids):
     return "dot_general" in jaxpr
 
 
-def test_auto_engagement_heuristic():
+def test_auto_engagement_heuristic(monkeypatch):
+    # 'auto' only engages on accelerator backends; pretend we're on one
+    monkeypatch.setattr(emb, "_accel", lambda: True)
     table, ids, _ = _table_ids_cot()
     small_ids = ids.reshape(-1)[: emb.ONEHOT_BWD_MIN_ROWS // 2]
     big_table = jnp.zeros((emb.ONEHOT_BWD_MAX_V + 1, D), jnp.float32)
@@ -78,6 +80,47 @@ def test_auto_engagement_heuristic():
         assert _grad_uses_onehot(table, small_ids)      # forced
 
 
+def test_item_cate_lookup_fused_parity():
+    rng = np.random.default_rng(3)
+    Vi, Vc, Di, Dc = 700, 40, 16, 16
+    item = jnp.asarray(rng.standard_normal((Vi, Di)), jnp.float32)
+    cate = jnp.asarray(rng.standard_normal((Vc, Dc)), jnp.float32)
+    cate_list = jnp.asarray(rng.integers(0, Vc, size=Vi), jnp.int32)
+    ids = jnp.asarray(rng.integers(0, Vi, size=(64, 30)), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((64, 30, Di + Dc)), jnp.float32)
+
+    def out(mode):
+        with emb.gather_bwd(mode):
+            return jax.jit(lambda i_t, c_t: emb.item_cate_lookup(
+                i_t, c_t, ids, cate_list))(item, cate)
+
+    # 'take' = per-site form, 'auto' = fused build; fwd must be bitwise
+    assert (np.asarray(out("take")) == np.asarray(out("auto"))).all()
+    # fused engagement is observable: a [Vi, Di+Dc] fused table appears
+    with emb.gather_bwd("auto"):
+        jaxpr = str(jax.make_jaxpr(
+            lambda i_t: emb.item_cate_lookup(i_t, cate, ids, cate_list))(item))
+    assert f"f32[{Vi},{Di + Dc}]" in jaxpr
+
+    def loss(i_t, c_t, mode):
+        with emb.gather_bwd(mode):
+            return jnp.sum(emb.item_cate_lookup(i_t, c_t, ids, cate_list) * cot)
+
+    g_ref = jax.grad(lambda a, b: loss(a, b, "take"), argnums=(0, 1))(item, cate)
+    g_fus = jax.grad(lambda a, b: loss(a, b, "auto"), argnums=(0, 1))(item, cate)
+    for a, b in zip(g_ref, g_fus):
+        scale = max(float(jnp.abs(a).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) < 1e-5 * scale
+
+    # big-vocab fallback: no fused build above the threshold
+    big = jnp.zeros((emb.FUSED_ITEM_CATE_MAX_V + 1, Di), jnp.float32)
+    big_cl = jnp.zeros((emb.FUSED_ITEM_CATE_MAX_V + 1,), jnp.int32)
+    with emb.gather_bwd("auto"):
+        jaxpr = str(jax.make_jaxpr(
+            lambda c_t: emb.item_cate_lookup(big, c_t, ids, big_cl))(cate))
+    assert f"f32[{emb.FUSED_ITEM_CATE_MAX_V + 1},{Di + Dc}]" not in jaxpr
+
+
 def _train_losses(model_dir):
     import json
     import os
@@ -87,7 +130,10 @@ def _train_losses(model_dir):
 
 
 @pytest.mark.parametrize("model_name", ["tlsan", "atrank"])
-def test_trainer_losses_match(model_name, reference_data_dir, tmp_path):
+def test_trainer_losses_match(model_name, reference_data_dir, tmp_path,
+                              monkeypatch):
+    from tlsan_tpu.nn import embedding as _e
+    monkeypatch.setattr(_e, "_accel", lambda: True)
     import dataclasses
     from tlsan_tpu.core.config import ModelConfig, TrainConfig
     from tlsan_tpu.models import get_model

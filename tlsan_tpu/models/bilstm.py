@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from tlsan_tpu.core.config import ModelConfig
 from tlsan_tpu.models import base
-from tlsan_tpu.nn.embedding import lookup
+from tlsan_tpu.nn.embedding import item_cate_lookup, lookup
 from tlsan_tpu.nn.init import glorot_uniform
 from tlsan_tpu.nn.layers import dense, gather_time, lstm_scan, reverse_valid
 
@@ -51,9 +51,8 @@ class BiLSTM:
 
     @staticmethod
     def _embed_items(params, ids, cate_list):
-        return jnp.concatenate(
-            [lookup(params["item_emb"], ids),
-             lookup(params["cate_emb"], cate_list[ids])], axis=-1)
+        return item_cate_lookup(
+            params["item_emb"], params["cate_emb"], ids, cate_list)
 
     @staticmethod
     def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):

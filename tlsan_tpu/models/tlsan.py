@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from tlsan_tpu.core.config import ModelConfig
 from tlsan_tpu.models import base
-from tlsan_tpu.nn.embedding import lookup
+from tlsan_tpu.nn.embedding import item_cate_lookup, lookup
 from tlsan_tpu.nn.init import glorot_uniform
 from tlsan_tpu.ops.feature_attention import (
     feature_wise_attention,
@@ -84,10 +84,10 @@ class TLSAN:
     @staticmethod
     def _embed_items(params, ids, cate_list):
         """item⊕cate embedding of an id tensor (TLSAN/model.py:84-87).
-        `lookup` dispatches replicated vs. row-sharded tables."""
-        ie = lookup(params["item_emb"], ids)
-        ce = lookup(params["cate_emb"], cate_list[ids])
-        return jnp.concatenate([ie, ce], axis=-1)
+        Fused-table form for small vocabs, per-site gathers otherwise
+        (nn/embedding.py item_cate_lookup)."""
+        return item_cate_lookup(
+            params["item_emb"], params["cate_emb"], ids, cate_list)
 
     @staticmethod
     def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):

@@ -74,6 +74,16 @@ ONEHOT_BWD_MAX_V = 8192
 ONEHOT_BWD_MIN_ROWS = 1024
 
 
+def _accel() -> bool:
+    """True when tracing for a backend where the one-hot matmul backward is
+    a measured win (TPU — the MXU services it; on CPU it's a measured 60×
+    LOSS at the same shapes, so 'auto' never engages there).  Tests that
+    need the engaged path on CPU monkeypatch this or force 'onehot'."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 @contextmanager
 def gather_bwd(mode: str):
     """Force the gather-backward strategy at trace time: 'auto' (default),
@@ -130,7 +140,46 @@ def lookup(table, ids):
     ids = jnp.asarray(ids)
     if (table.ndim == 2 and mode != "take"
             and (mode == "onehot"
-                 or (table.shape[0] <= ONEHOT_BWD_MAX_V
+                 or (_accel()
+                     and table.shape[0] <= ONEHOT_BWD_MAX_V
                      and ids.size >= ONEHOT_BWD_MIN_ROWS))):
         return _take_matmul_bwd(table, ids)
     return jnp.take(table, ids, axis=0)
+
+
+# item vocab above which building the fused [V, Di+Dc] table each step costs
+# more HBM traffic than the gather dispatches it eliminates (~2·V·512 B per
+# step vs ~3 gather-op latencies; crossover measured on chip — RESULTS.md)
+FUSED_ITEM_CATE_MAX_V = 24576
+
+
+def item_cate_lookup(item_emb, cate_emb, ids, cate_list):
+    """item⊕cate embedding of an id tensor: rows ``concat(item_emb[ids],
+    cate_emb[cate_list[ids]])`` — the pattern every model family uses for
+    history and candidate items (reference: TLSAN/model.py:84-87).
+
+    The naive form is 2 row-gathers + an index-gather + a concat PER CALL
+    SITE, and TLSAN has three sites (long history, short history, candidate
+    items): ~9 scalar-unit gather dispatches per step, the dominant stage of
+    the latency-bound b32 step (roofline: 139 µs of 240 µs).  For small item
+    vocabularies this instead builds the fused table
+    ``concat(item_emb, cate_emb[cate_list])`` — identical at every site, so
+    XLA CSEs the build across sites — and does ONE gather per site.  Forward
+    values are bitwise-identical (gather∘concat commute exactly); the
+    backward accumulates through the fused table (slice → item_emb; a
+    one-hot matmul over the static cate_list → cate_emb), so grads differ
+    from the per-site path only by f32 summation order.
+
+    Falls back to the per-site form under a vocab-sharded mesh (the fused
+    build would gather the full item vocab through the exchange), for large
+    vocabularies, and in gather_bwd('take') mode (the bitwise-frozen path
+    the transplant harnesses pin)."""
+    if (current_mesh() is None and gather_bwd_mode() != "take"
+            and item_emb.ndim == 2
+            and item_emb.shape[0] <= FUSED_ITEM_CATE_MAX_V):
+        fused = jnp.concatenate(
+            [item_emb, lookup(cate_emb, cate_list)], axis=-1)
+        return lookup(fused, ids)
+    ie = lookup(item_emb, ids)
+    ce = lookup(cate_emb, cate_list[ids])
+    return jnp.concatenate([ie, ce], axis=-1)
