@@ -121,6 +121,27 @@ def test_item_cate_lookup_fused_parity():
     assert f"f32[{emb.FUSED_ITEM_CATE_MAX_V + 1},{Di + Dc}]" not in jaxpr
 
 
+def test_tlsan_loss_uses_fused_table():
+    """The fused [V, Di+Dc] build must actually engage in the real TLSAN
+    loss trace (guards the model wiring, not just the helper)."""
+    import __graft_entry__ as ge
+    from tlsan_tpu.models.tlsan import TLSAN
+
+    cfg, params, batch, cate_list = ge._tiny_setup()
+    with emb.gather_bwd("auto"):
+        jaxpr = str(jax.make_jaxpr(
+            lambda p: TLSAN.loss(p, batch, cate_list, cfg, use_pallas=False)
+        )(params))
+    V = cfg.item_count
+    D = cfg.itemid_embedding_size + cfg.cateid_embedding_size
+    assert f"f32[{V},{D}]" in jaxpr
+    with emb.gather_bwd("take"):
+        jaxpr = str(jax.make_jaxpr(
+            lambda p: TLSAN.loss(p, batch, cate_list, cfg, use_pallas=False)
+        )(params))
+    assert f"f32[{V},{D}]" not in jaxpr
+
+
 def _train_losses(model_dir):
     import json
     import os
