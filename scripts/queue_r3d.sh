@@ -10,7 +10,7 @@ for M in CNN Bi-LSTM CSAN; do
   python scripts/ref_tf_run.py --model "$M" \
     --dataset Clothing_Shoes_and_Jewelry --fast \
     > "runs/ref_tf/${tag}_clothing_r3.log" 2>&1
-  grep -o "Eval_auc: [0-9.]*" "runs/ref_tf/${tag}_clothing_r3.log" \
+  grep -io "Eval_auc: [0-9.]*" "runs/ref_tf/${tag}_clothing_r3.log" \
     | sort -k2 -n | tail -1 | sed "s/^/$M Clothing best /" \
     >> runs/ref_tf/baselines_r3.txt
 done

@@ -80,7 +80,7 @@ def patch_fast(src: str) -> str:
     """Stub the streaming P@k/R@k evals; AUC eval is untouched.
     (ATRank's eval_* take (sess, test_set, model) without config.)"""
     src = re.sub(
-        r"(prec|recall) = eval_\1\(sess, test_set, model(?:, config)?\)",
+        r"(prec|recall) = eval_\1\(sess, (?:test_set, )?model(?:, config)?\)",
         r"\1 = [0.0] * 6  # --fast: top-k eval stubbed", src)
     return src
 
