@@ -161,6 +161,13 @@ class TrainConfig:
     dp: int = 1
     mp: int = 1
 
+    # training compute dtype: "float32" (default; bit-faithful to the TF f32
+    # reference) or "bfloat16" (mixed precision: master params, optimizer
+    # state, loss reductions and the L2 term stay f32; the forward/backward
+    # network compute runs in bf16 — the standard TPU lever; opt-in because
+    # exactness-vs-reference is the f32 contract).  Eval always runs f32.
+    compute_dtype: str = "float32"
+
 
 def save_config_json(path: str, *cfgs: Any) -> None:
     """Dump dataclass configs as one JSON sidecar (reference: TLSAN/model.py:306)."""

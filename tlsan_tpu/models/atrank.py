@@ -129,7 +129,9 @@ class ATRank:
         # (a dropout-trained cfg still fuses at inference, where no
         # dropout_rng is supplied and the jnp path is deterministic anyway)
         no_dropout = cfg.dropout <= 0.0 or batch.get("dropout_rng") is None
-        fused = use_pallas and no_dropout
+        # the Pallas kernels are f32-only; bf16 mixed precision routes
+        # through the jnp/XLA path (the measured production default anyway)
+        fused = use_pallas and no_dropout and h.dtype == jnp.float32
         mha_fused = ATRank._fused_mha(cfg) if fused else None
 
         enc = h

@@ -43,8 +43,12 @@ def sigmoid_ce_loss(logits, labels, valid=None):
     """mean sigmoid cross-entropy (reference: TLSAN/model.py:171).
 
     `valid` masks padded batch rows (our static-batch padding; the reference
-    has ragged final batches instead).
+    has ragged final batches instead).  The loss head always computes in f32
+    (a no-op cast on the default f32 path; under bf16 mixed precision the
+    log/exp and the batch reduction stay full-precision).
     """
+    logits = logits.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
     ce = jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     if valid is None:
         return jnp.mean(ce)
@@ -59,7 +63,7 @@ def bpr_loss(pos_logits, neg_logits, valid=None, clip=True):
     (reference: LSPM/model.py:99-101); BPR-MF uses −mean log σ(x) directly
     (reference: BPR/model.py:71-72).
     """
-    x = pos_logits - neg_logits
+    x = pos_logits.astype(jnp.float32) - neg_logits.astype(jnp.float32)
     if clip:
         p = jnp.clip(jax.nn.sigmoid(x), 1e-8, 1.0)
         l = -jnp.log(p)
@@ -72,8 +76,12 @@ def bpr_loss(pos_logits, neg_logits, valid=None, clip=True):
 
 
 def l2_tables(*tables):
-    """Σ tf.nn.l2_loss(t) = Σ sum(t²)/2 (reference: TLSAN/model.py:164-169)."""
-    return sum(0.5 * jnp.sum(jnp.square(t)) for t in tables)
+    """Σ tf.nn.l2_loss(t) = Σ sum(t²)/2 (reference: TLSAN/model.py:164-169).
+
+    Accumulates in f32 regardless of input dtype (no-op on the f32 path;
+    under bf16 mixed precision a million-element sum-of-squares in bf16
+    would lose the L2 term entirely)."""
+    return sum(0.5 * jnp.sum(jnp.square(t.astype(jnp.float32))) for t in tables)
 
 
 def auc_from_pair(pos_logits, neg_logits, valid=None):

@@ -117,13 +117,16 @@ def _take_matmul_bwd_bwd(res, ct):
     ct2 = ct.reshape(flat.shape[0], ct.shape[-1])
     # one-hot 0/1 entries and the bf16x6 split of the f32 cotangent make the
     # product exact per term; only cross-row accumulation order differs from
-    # the scatter-add
-    oh = jax.nn.one_hot(flat, V, dtype=jnp.float32)
+    # the scatter-add.  Under bf16 compute the one-hot is still exact and the
+    # accumulation stays f32 (preferred_element_type); the result is cast
+    # back to the table's dtype — which is ct's dtype, since take preserves
+    # dtype (custom_vjp cotangents must match the primal)
+    oh = jax.nn.one_hot(flat, V, dtype=ct2.dtype)
     dtable = jax.lax.dot_general(
         oh, ct2, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    return dtable, None
+    return dtable.astype(ct2.dtype), None
 
 
 _take_matmul_bwd.defvjp(_take_matmul_bwd_fwd, _take_matmul_bwd_bwd)

@@ -72,6 +72,7 @@ def feature_wise_attention(x, lengths, num_heads, w1, b1, w2, b2,
     Dropout (train-time only; every reference flag table defaults it to 0)
     routes through the jnp path."""
     if (dropout_rate <= 0.0 or rng is None) and use_pallas \
+            and x.dtype == jnp.float32 \
             and jax.default_backend() == "tpu":
         from tlsan_tpu.nn import embedding
         from tlsan_tpu.ops.pallas.fwa import fwa_pallas

@@ -248,6 +248,14 @@ def main(argv=None):
                         "vocab rows, sparse above; RESULTS.md study)")
     p.add_argument("--no_sparse", dest="sparse_updates", action="store_false",
                    help="force dense [V,D] table updates")
+    p.add_argument("--compute_dtype", choices=["f32", "float32", "bf16",
+                                               "bfloat16"],
+                   default="float32",
+                   help="training compute dtype.  bf16 runs the network "
+                        "forward/backward in bfloat16 with f32 master "
+                        "params, optimizer state, loss reductions and L2 "
+                        "(standard TPU mixed precision); eval stays f32.  "
+                        "Default f32 — the bit-faithful reference contract")
     p.add_argument("--gather_bwd", choices=["auto", "take", "onehot"],
                    default="auto",
                    help="embedding-gather backward strategy: 'auto' "
@@ -343,6 +351,8 @@ def main(argv=None):
         sparse_updates=args.sparse_updates,
         tb_histograms=args.tb_histograms,
         summary_freq=args.summary_freq,
+        compute_dtype={"f32": "float32", "bf16": "bfloat16"}.get(
+            args.compute_dtype, args.compute_dtype),
     )
 
     data_path = os.path.join(args.data_dir, f"{args.dataset}.pkl")

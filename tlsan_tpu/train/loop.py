@@ -36,6 +36,24 @@ from tlsan_tpu.train.metrics import MetricWriter
 from tlsan_tpu.train.state import make_optimizer
 
 
+def _bf16_cast(tree):
+    """Cast every f32 leaf to bf16 (mixed-precision forward/backward compute;
+    master params and optimizer state stay f32 — the f32→bf16 cast's VJP
+    casts the bf16 cotangents back up, so gradients land in f32)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if getattr(x, "dtype", None) == jnp.float32 else x, tree)
+
+
+def _wants_bf16(tc: TrainConfig) -> bool:
+    dt = tc.compute_dtype
+    if dt in ("float32", "f32", "fp32"):
+        return False
+    if dt in ("bfloat16", "bf16"):
+        return True
+    raise ValueError(f"compute_dtype must be float32 or bfloat16, got {dt!r}")
+
+
 class _NullWriter:
     """Non-host-0 ranks: metric/checkpoint output is host 0's job."""
 
@@ -163,11 +181,17 @@ class Trainer:
         # the reference's IndexedSlices behavior, TPU-native
         from tlsan_tpu.train import sparse as sparse_mod
         from tlsan_tpu.train.state import lr_schedule
+        bf16 = _wants_bf16(self.tc)
         want_sparse = self.tc.sparse_updates
         if want_sparse is None:  # auto: by total vocab rows (measured
             # crossover ~100k rows on v5e — RESULTS.md round-2 study)
             rows = self.cfg.item_count + self.cfg.user_count
-            want_sparse = rows >= self.tc.sparse_auto_rows
+            want_sparse = rows >= self.tc.sparse_auto_rows and not bf16
+        if want_sparse and bf16:
+            raise ValueError(
+                "sparse_updates requires float32 compute (the touched-row "
+                "chunk's analytic L2 decay and clip-norm recurrence are f32 "
+                "contracts); drop --sparse or use compute_dtype=float32")
         self._use_sparse = (
             self.tc.optimizer in ("sgd", "adam") and self.n_proc == 1
             and want_sparse
@@ -236,6 +260,8 @@ class Trainer:
             return out
 
         def loss_fn(params, batch):
+            if bf16:  # mixed precision: bf16 network compute, f32 loss head
+                params, batch = _bf16_cast(params), _bf16_cast(batch)
             return model.loss(params, batch, cate_list, cfg, use_pallas)
 
         use_dropout = cfg.dropout > 0.0
@@ -299,9 +325,12 @@ class Trainer:
         model, cfg, cate_list = self.model, self.cfg, self.cate_list
         opt, use_pallas = self.opt, self.use_pallas
         use_dropout = cfg.dropout > 0.0
+        bf16 = _wants_bf16(self.tc)
         self._dropout_rng = jax.random.PRNGKey(self.tc.seed + 1)
 
         def loss_fn(params, batch):
+            if bf16:  # mixed precision: bf16 network compute, f32 loss head
+                params, batch = _bf16_cast(params), _bf16_cast(batch)
             return model.loss(params, batch, cate_list, cfg, use_pallas)
 
         @partial(jax.jit, donate_argnums=(0, 1))
