@@ -56,6 +56,9 @@ def main():
                         "(measured slower than XLA at these shapes)")
     p.add_argument("--unroll", type=int, default=1,
                    help="lax.scan unroll factor for the train chunk")
+    p.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
+                   help="A/B: bf16 mixed-precision network compute "
+                        "(f32 master params/opt state — train/loop.py)")
     args = p.parse_args()
 
     import jax
@@ -90,8 +93,15 @@ def main():
     params = TLSAN.init_params(jax.random.PRNGKey(0), cfg)
     opt_state = opt.init(params)
 
-    def loss_fn(p, b):
-        return TLSAN.loss(p, b, cate_list, cfg, use_pallas)
+    if args.compute_dtype == "bf16":
+        from tlsan_tpu.train.loop import _bf16_cast
+
+        def loss_fn(p, b):
+            return TLSAN.loss(_bf16_cast(p), _bf16_cast(b), cate_list, cfg,
+                              use_pallas)
+    else:
+        def loss_fn(p, b):
+            return TLSAN.loss(p, b, cate_list, cfg, use_pallas)
 
     from functools import partial
 
@@ -175,7 +185,8 @@ def main():
     # (TLSAN/Home-Kitchen, median epoch 30.5 s — RESULTS.md round 2)
     REF_MEASURED_EPS = 4994.0
     print(json.dumps({
-        "metric": f"tlsan_train_examples_per_sec_{args.dataset}_b{B}",
+        "metric": (f"tlsan_train_examples_per_sec_{args.dataset}_b{B}"
+                   + ("_bf16" if args.compute_dtype == "bf16" else "")),
         "value": round(fused_eps, 1),
         "unit": "examples/s",
         "vs_baseline": round(fused_eps / base_eps, 2),

@@ -59,6 +59,8 @@ def main():
     p.add_argument("--sparse", action="store_true",
                    help="also time the sparse touched-row chunk")
     p.add_argument("--platform", default=None, choices=["cpu", "default"])
+    p.add_argument("--compute_dtype", choices=["f32", "bf16"], default="f32",
+                   help="A/B: bf16 mixed-precision network compute")
     args = p.parse_args()
 
     import jax
@@ -99,8 +101,15 @@ def main():
     rng = np.random.default_rng(0)
     idx = jnp.asarray(rng.integers(0, n, (K, B)), jnp.int32)
 
-    def loss_fn(p, b):
-        return TLSAN.loss(p, b, cate_list, cfg, False)
+    if args.compute_dtype == "bf16":
+        from tlsan_tpu.train.loop import _bf16_cast
+
+        def loss_fn(p, b):
+            return TLSAN.loss(_bf16_cast(p), _bf16_cast(b), cate_list, cfg,
+                              False)
+    else:
+        def loss_fn(p, b):
+            return TLSAN.loss(p, b, cate_list, cfg, False)
 
     # ---- stage programs, each a K-step fused scan like the trainer ----
     @jax.jit
