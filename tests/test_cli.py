@@ -146,3 +146,14 @@ def test_raw_pipeline_end_to_end_via_file_urls(tmp_path):
         "tlsan", str(out_pkl), ModelConfig(model="tlsan"), use_cache=False)
     assert train_b.n > 0 and test_b.n == cfg.user_count > 0
     assert cfg.item_count == len(cate_list)
+
+
+def test_auto_steps_per_call():
+    from tlsan_tpu.train.cli import auto_steps_per_call
+    # small dataset (Clothing: 9888/32 = 309 steps/epoch) -> 100
+    assert auto_steps_per_call(9_888, 32, 1000) == 100
+    # Electronics scale (365k/32 = 11.4k steps/epoch) -> 500 (K-sweep)
+    assert auto_steps_per_call(365_668, 32, 1000) == 500
+    # never exceeds eval_freq (eval cadence checks at chunk boundaries)
+    assert auto_steps_per_call(365_668, 32, 200) == 200
+    assert auto_steps_per_call(10, 32, 1000) == 100

@@ -34,6 +34,20 @@ from tlsan_tpu.train.loop import Trainer
 
 
 
+def auto_steps_per_call(n_train: int, batch_size: int, eval_freq: int) -> int:
+    """Fused-scan chunk length when --steps_per_call is not given.
+
+    The K-sweep on the chip (RESULTS.md round-3 "dispatch amortization")
+    showed K=500 recovers 2.8× wall throughput at Electronics scale
+    (~11k steps/epoch) by cutting per-dispatch RPC count, while K=1000 adds
+    nothing; at small scales K=100 keeps display/eval granularity and the
+    wall cost of dispatch is negligible.  K never exceeds eval_freq so the
+    eval cadence (chunk-boundary checks) stays on schedule."""
+    steps_per_epoch = max(1, (n_train + batch_size - 1) // batch_size)
+    k = 500 if steps_per_epoch >= 2000 else 100
+    return max(1, min(k, eval_freq))
+
+
 def prepare(model_name: str, data_path: str, cfg: ModelConfig, seed: int = 1234,
             use_cache: Optional[bool] = None
             ) -> Tuple[Batches, Batches, np.ndarray, ModelConfig]:
@@ -192,7 +206,11 @@ def main(argv=None):
     p.add_argument("--learning_rate", type=float, default=1.0)
     p.add_argument("--optimizer", default="sgd")
     p.add_argument("--lr_drop_step", type=int, default=None)
-    p.add_argument("--steps_per_call", type=int, default=100)
+    p.add_argument("--steps_per_call", type=int, default=None,
+                   help="train steps fused into one device dispatch "
+                        "(default: auto — 100, or 500 at ≥2000 steps/epoch "
+                        "where dispatch RPC dominates; measured K-sweep in "
+                        "RESULTS.md)")
     p.add_argument("--eval_freq", type=int, default=1000)
     p.add_argument("--display_freq", type=int, default=100,
                    help="steps between train-loss log lines (granularity is "
@@ -334,7 +352,7 @@ def main(argv=None):
                     else default_epochs[args.model]),
         eval_freq=args.eval_freq,
         display_freq=args.display_freq,
-        steps_per_call=args.steps_per_call,
+        steps_per_call=args.steps_per_call or 100,  # resolved after prepare
         seed=args.seed,
         max_gradient_norm=args.max_gradient_norm,
         best_after_step=args.best_after_step,
@@ -358,9 +376,13 @@ def main(argv=None):
     data_path = os.path.join(args.data_dir, f"{args.dataset}.pkl")
     train_b, test_b, cate_list, cfg = prepare(
         args.model, data_path, cfg, args.seed, use_cache=args.data_cache)
+    if args.steps_per_call is None:
+        tc = dataclasses.replace(tc, steps_per_call=auto_steps_per_call(
+            train_b.n, tc.train_batch_size, tc.eval_freq))
     print(f"model={args.model} dataset={args.dataset} "
           f"train={train_b.n} test={test_b.n} "
-          f"users={cfg.user_count} items={cfg.item_count} cates={cfg.cate_count}",
+          f"users={cfg.user_count} items={cfg.item_count} cates={cfg.cate_count} "
+          f"steps_per_call={tc.steps_per_call}",
           flush=True)
 
     model = get_model(args.model)
