@@ -142,3 +142,24 @@ def test_featurize_many_batches_rows(category):
         single = featurize("tlsan", cfg, events_by_user[u], user_id=u,
                            cate_list=cate_list)
         np.testing.assert_array_equal(batch["hist_i"][r], single["hist_i"][0])
+
+
+def test_tlsan_single_day_history_is_finite():
+    """Single-session fallback: all events on one day must yield finite
+    hist_t (same-day deltas clamp to the max-recency weight 1.0, not inf —
+    offline, cur_t is always a later session so this only arises online)."""
+    cfg = ModelConfig(model="tlsan", user_count=20, item_count=30,
+                      cate_count=5, Ls=10, Ts=8)
+    cate_list = np.zeros(30, np.int32)
+    row = featurize("tlsan", cfg, [(3, 100), (7, 100), (11, 100)],
+                    user_id=5, cate_list=cate_list)
+    assert np.isfinite(row["hist_t"]).all()
+    # the clamped same-day events carry the max-recency weight 1.0
+    assert row["hist_t"].max() == 1.0
+
+
+def test_featurize_many_empty_requests_raises():
+    cfg = ModelConfig(model="tlsan", user_count=20, item_count=30,
+                      cate_count=5, Ls=10, Ts=8)
+    with pytest.raises(ValueError, match="empty requests"):
+        featurize_many("tlsan", cfg, [], cate_list=np.zeros(30, np.int32))

@@ -80,3 +80,28 @@ def test_bad_request_is_400(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def test_empty_requests_list_is_400(server):
+    """{"requests": []} must produce a clean 400, not a dropped socket
+    (featurize_many raises ValueError before indexing rows[0])."""
+    status = None
+    try:
+        _post(f"{server}/v1/recommend", {"requests": [], "k": 3})
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+
+
+def test_single_day_history_scores_finite(server):
+    """All events on one day hits _split_sessions' single-session fallback
+    (long-term history == the same-day session); the reciprocal time
+    feature must clamp to the max-recency bucket instead of 1/0 = inf,
+    so scores stay finite and strict-JSON parseable."""
+    events = [[3, 100], [7, 100], [11, 100]]
+    status, body = _post(f"{server}/v1/recommend",
+                         {"user": 5, "events": events, "k": 5})
+    assert status == 200
+    (res,) = body["results"]
+    assert all(np.isfinite(s) for s in res["scores"])
+    assert res["scores"] == sorted(res["scores"], reverse=True)

@@ -200,3 +200,38 @@ def test_sparse_mesh_matches_single_device(tmp_path, model_name, optimizer):
     _assert_tree_close(tr2._ckpt_params(), tr1._ckpt_params(),
                        rtol=2e-3, atol=2e-5 if optimizer == "sgd" else 2e-3,
                        tag=f"{model_name}/{optimizer} mesh-sparse")
+
+
+def test_sparse_matches_dense_large_batch_inscan():
+    """B > 128 takes the NON-hoisted sparse chunk (in-scan per-step batch
+    gathers — the measured large-batch gate shared with the dense path,
+    train/sparse.py); parity must hold on that code path too, for both the
+    SGD and the Adam chunk."""
+    model, cfg, tc, data, cate_list, idx, params = _setup(
+        "tlsan", B=192, steps=3)
+    assert tc.train_batch_size > 128  # non-hoist gate engaged
+
+    dense = _dense_chunk(model, cfg, tc, cate_list, data)
+    p_dense, _, losses_dense = dense(
+        jax.tree_util.tree_map(jnp.copy, params), idx)
+    chunk = sparse.make_sparse_chunk(
+        model, cfg, tc, cate_list, data, params, False, lr_schedule(tc))
+    p_sparse, _, loss_sparse = chunk(
+        jax.tree_util.tree_map(jnp.copy, params),
+        jnp.asarray(0, jnp.int32), idx, jax.random.PRNGKey(0), data)
+    _assert_tree_close(p_sparse, p_dense, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(float(loss_sparse),
+                               float(jnp.mean(losses_dense)), rtol=1e-3)
+
+    tc_a = dataclasses.replace(tc, optimizer="adam", learning_rate=0.01)
+    dense_a = _dense_chunk(model, cfg, tc_a, cate_list, data)
+    p_dense_a, _, _ = dense_a(jax.tree_util.tree_map(jnp.copy, params), idx)
+    chunk_a = sparse.make_sparse_adam_chunk(
+        model, cfg, tc_a, cate_list, data, params, False, lr_schedule(tc_a))
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    p_sparse_a, _, _, _, _ = chunk_a(
+        jax.tree_util.tree_map(jnp.copy, params),
+        jax.tree_util.tree_map(jnp.copy, zeros),
+        jax.tree_util.tree_map(jnp.copy, zeros),
+        jnp.asarray(0, jnp.int32), idx, jax.random.PRNGKey(0), data)
+    _assert_tree_close(p_sparse_a, p_dense_a, rtol=2e-3, atol=2e-3)

@@ -223,6 +223,23 @@ def epoch_permutation(n: int, epoch: int, seed: int = 1234) -> np.ndarray:
     return rng.permutation(n).astype(np.int32)
 
 
+def epoch_index(n: int, batch_size: int, steps_per_call: int, epoch: int,
+                seed: int = 1234) -> np.ndarray:
+    """Shuffled [n_chunks, K, B] batch-index tensor for one epoch; the tail
+    wraps to the permutation head so every chunk keeps the static shape (the
+    reference instead runs a ragged final batch — TLSAN/input.py:10-11).
+    Single source of truth for the Trainer AND the replica fan-out: the
+    fan-out's per-replica-trajectory == single-run parity depends on both
+    using byte-identical chunking."""
+    B, K = batch_size, steps_per_call
+    perm = epoch_permutation(n, epoch, seed)
+    steps = max(1, (n + B - 1) // B)
+    n_chunks = max(1, (steps + K - 1) // K)
+    total = n_chunks * K * B
+    reps = int(np.ceil(total / n))
+    return np.tile(perm, reps)[:total].reshape(n_chunks, K, B)
+
+
 def pad_to_multiple(b: Batches, multiple: int) -> Batches:
     """Pad the leading dim so it divides evenly into batches; adds a `valid`
     mask so padded rows can be excluded from metrics."""

@@ -96,7 +96,12 @@ def featurize(model_name: str, cfg: ModelConfig, events: Sequence[Event],
         }
         if model_name == "tlsan":
             assert cate_list is not None, "tlsan needs cate_list"
-            emb = reciprocal_time(pre_t, now)
+            # the single-session fallback above can leave same-day events in
+            # the long-term history; offline, cur_t is always from a LATER
+            # session so delta+1 >= 2 (builders.reciprocal_time docstring).
+            # Clamp those to yesterday: delta+1 = 2 -> the max-recency
+            # bucket weight 1.0, instead of 1/0 = inf -> NaN scores.
+            emb = reciprocal_time([min(t, now - 1) for t in pre_t], now)
             out["hist_t"] = _scatter_pad([emb], Ls, np.float32)
             cates = [int(cate_list[i]) for i in pre_i]
             out["c"] = np.asarray([_dominant_cate(cates)], np.int32)
@@ -138,6 +143,8 @@ def featurize_many(model_name: str, cfg: ModelConfig,
                    requests: List[Dict], cate_list=None) -> Dict[str, np.ndarray]:
     """Batch of requests → concatenated batch dict.  Each request:
     {"user": int?, "events": [[item, day], ...], "now": int?}."""
+    if not requests:
+        raise ValueError("empty requests list")
     rows = [featurize(model_name, cfg,
                       [(int(i), int(d)) for i, d in r.get("events", [])],
                       user_id=r.get("user"), now=r.get("now"),

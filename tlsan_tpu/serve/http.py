@@ -119,7 +119,8 @@ def make_handler(service: RecommendService):
                     reqs = [body]
                 results = service.recommend(reqs, k=body.get("k"))
                 return self._send(200, {"results": results})
-            except (ValueError, KeyError, AssertionError, TypeError) as e:
+            except (ValueError, KeyError, AssertionError, TypeError,
+                    IndexError) as e:
                 return self._send(400, {"error": str(e)})
 
     return Handler

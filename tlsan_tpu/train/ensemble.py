@@ -11,7 +11,7 @@ trajectories that match R separate runs while costing ~1 dispatch stream.
 
 Semantics per replica r:
   - params_r = model.init_params(PRNGKey(seed_r))     (its own init draw)
-  - its own epoch shuffle stream (epoch_permutation(n, epoch, seed_r))
+  - its own epoch shuffle stream (batcher.epoch_index(..., seed=seed_r))
   - optional lr_scale_r: exact per-replica learning rate for SGD
     (sgd update = -schedule(t)·g_clipped, linear in lr, so post-scaling the
     shared-schedule update by lr_r/lr_base reproduces lr=lr_r exactly; the
@@ -37,7 +37,7 @@ import numpy as np
 import optax
 
 from tlsan_tpu.core.config import ModelConfig, TrainConfig
-from tlsan_tpu.data.batcher import Batches, epoch_permutation
+from tlsan_tpu.data.batcher import Batches, epoch_index
 from tlsan_tpu.train.evaluate import make_auc_fn, _device_data
 from tlsan_tpu.train.loop import _bf16_cast, _wants_bf16
 from tlsan_tpu.train.state import make_optimizer
@@ -129,16 +129,12 @@ class ReplicaFanout:
 
     def _epoch_index(self, epoch: int) -> np.ndarray:
         """[n_chunks, R, K, B]: each replica gets its OWN seed's shuffle
-        stream (the reference seed study varies init AND batch order)."""
+        stream (the reference seed study varies init AND batch order) —
+        per replica this is exactly the Trainer's epoch_index
+        (data/batcher.py, shared code: parity by construction)."""
         B, K = self.tc.train_batch_size, self.tc.steps_per_call
-        steps = max(1, (self.n_train + B - 1) // B)
-        n_chunks = max(1, (steps + K - 1) // K)
-        total = n_chunks * K * B
-        per_replica = []
-        for s in self.seeds:
-            perm = epoch_permutation(self.n_train, epoch, s)
-            reps = int(np.ceil(total / self.n_train))
-            per_replica.append(np.tile(perm, reps)[:total].reshape(n_chunks, K, B))
+        per_replica = [epoch_index(self.n_train, B, K, epoch, s)
+                       for s in self.seeds]
         # [R, n_chunks, K, B] → [n_chunks, R, K, B]
         return np.stack(per_replica).transpose(1, 0, 2, 3)
 

@@ -28,7 +28,7 @@ import optax
 from jax.sharding import NamedSharding
 
 from tlsan_tpu.core.config import ModelConfig, TrainConfig
-from tlsan_tpu.data.batcher import Batches, epoch_permutation
+from tlsan_tpu.data.batcher import Batches, epoch_index
 from tlsan_tpu.nn import embedding
 from tlsan_tpu.train import checkpoint as ckpt
 from tlsan_tpu.train.evaluate import Evaluator
@@ -187,15 +187,18 @@ class Trainer:
             # crossover ~100k rows on v5e — RESULTS.md round-2 study)
             rows = self.cfg.item_count + self.cfg.user_count
             want_sparse = rows >= self.tc.sparse_auto_rows and not bf16
-        if want_sparse and bf16:
-            raise ValueError(
-                "sparse_updates requires float32 compute (the touched-row "
-                "chunk's analytic L2 decay and clip-norm recurrence are f32 "
-                "contracts); drop --sparse or use compute_dtype=float32")
         self._use_sparse = (
             self.tc.optimizer in ("sgd", "adam") and self.n_proc == 1
             and want_sparse
             and sparse_mod.sparsifiable(self.params, data))
+        if self._use_sparse and bf16:
+            # raised only when the sparse path would actually engage —
+            # a forced --sparse under e.g. rmsprop falls to the dense path
+            # regardless, so bf16 is fine there
+            raise ValueError(
+                "sparse_updates requires float32 compute (the touched-row "
+                "chunk's analytic L2 decay and clip-norm recurrence are f32 "
+                "contracts); drop --sparse or use compute_dtype=float32")
         if self._use_sparse:
             self._dropout_rng = jax.random.PRNGKey(self.tc.seed + 1)
             mesh_kw = dict(mesh=mesh, vocab_sharded=self.tc.mp > 1)
@@ -481,17 +484,10 @@ class Trainer:
                 self.params, jnp.asarray(chunk_idx[-1]), self.train_data)
 
     def _epoch_index(self, epoch: int) -> np.ndarray:
-        """Shuffled [n_chunks, K, B] batch-index tensor; the tail wraps to the
-        permutation head so every chunk keeps the static shape (the reference
-        instead runs a ragged final batch — TLSAN/input.py:10-11)."""
-        B, K = self.tc.train_batch_size, self.tc.steps_per_call
-        perm = epoch_permutation(self.n_train, epoch, self.tc.seed)
-        steps = max(1, (self.n_train + B - 1) // B)
-        n_chunks = max(1, (steps + K - 1) // K)
-        total = n_chunks * K * B
-        reps = int(np.ceil(total / self.n_train))
-        idx = np.tile(perm, reps)[:total]
-        return idx.reshape(n_chunks, K, B)
+        """Shuffled [n_chunks, K, B] batch-index tensor (data/batcher.py
+        epoch_index — shared with the replica fan-out)."""
+        return epoch_index(self.n_train, self.tc.train_batch_size,
+                           self.tc.steps_per_call, epoch, self.tc.seed)
 
     # ------------------------------------------------------------------
 

@@ -171,15 +171,16 @@ def make_batch_constrain(mesh):
     """Shard the chunk's pre-gathered [K, B, ...] batch arrays over dp on
     the batch dim (mirrors the dense mesh path)."""
     if mesh is None:
-        return lambda batches: batches
+        return lambda batches, lead_dims=2: batches
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from tlsan_tpu.parallel.mesh import DP_AXIS
 
-    def constrain(batches):
+    def constrain(batches, lead_dims=2):
         out = {}
         for k, v in batches.items():
-            spec = P(None, DP_AXIS, *([None] * (v.ndim - 2)))
+            lead = [None] * (lead_dims - 1) + [DP_AXIS]
+            spec = P(*lead, *([None] * (v.ndim - lead_dims)))
             out[k] = jax.lax.with_sharding_constraint(
                 v, NamedSharding(mesh, spec))
         return out
@@ -319,11 +320,25 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
     # the dataset is an ARGUMENT (same device buffers every call, zero
     # copy) — closure constants get baked into the executable and thrash
     # the device program cache (see train/loop.py note)
+    # same measured hoist gate as the dense chunk (train/loop.py): the
+    # materialized [K, B, ...] chunk wins in the latency-bound small-batch
+    # regime (+5% at b32) but costs extra HBM round-trips at large batches
+    # (−9% at b512, runs/r3/bench_hoist_*) — large batches gather in-scan
+    hoist = tc.train_batch_size <= 128
+
     @partial(jax.jit, donate_argnums=(0,))
     def chunk(params, step0, idx, rng, data):
         # batch assembly hoisted out of the scan (one gather per array per
         # chunk; the scan slices [K, B, ...] xs — see train/loop.py)
-        batches = constrain({k: v[idx] for k, v in data.items()})
+        step = make_step()
+        if hoist:
+            xs, body = constrain({k: v[idx] for k, v in data.items()}), step
+        else:
+            xs = idx
+
+            def body(carry, ib):
+                return step(carry, constrain(
+                    {k: v[ib] for k, v in data.items()}, lead_dims=1))
         # q = ‖T‖² per decaying table; ONE dense read per fused chunk keeps
         # the in-scan recurrence drift bounded to steps_per_call steps.
         # scale starts at 1 and the accumulated decay is folded back into
@@ -331,7 +346,7 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
         q0 = {t: _sq(params[t]) for t in decay_names}
         s0 = {t: jnp.float32(1.0) for t in decay_names}
         (params, scale, _, _, rng), losses = jax.lax.scan(
-            make_step(), (params, s0, q0, step0, rng), batches)
+            body, (params, s0, q0, step0, rng), xs)
         for t in decay_names:
             params[t] = params[t] * scale[t]
         return params, rng, jnp.mean(losses)
@@ -468,11 +483,21 @@ def make_sparse_adam_chunk(model, cfg, tc, cate_list, data, params,
 
     from functools import partial
 
+    hoist = tc.train_batch_size <= 128  # same measured gate as above
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def chunk(params, mu, nu, step0, idx, rng, data):
-        batches = constrain({k: v[idx] for k, v in data.items()})
+        step = make_step()
+        if hoist:
+            xs, body = constrain({k: v[idx] for k, v in data.items()}), step
+        else:
+            xs = idx
+
+            def body(carry, ib):
+                return step(carry, constrain(
+                    {k: v[ib] for k, v in data.items()}, lead_dims=1))
         (params, mu, nu, _, rng), losses = jax.lax.scan(
-            make_step(), (params, mu, nu, step0, rng), batches)
+            body, (params, mu, nu, step0, rng), xs)
         return params, mu, nu, rng, jnp.mean(losses)
 
     return chunk
