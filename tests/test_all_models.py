@@ -100,3 +100,48 @@ def test_model_determinism(name):
     p2 = model.init_params(jax.random.PRNGKey(7), cfg)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cnn_short_window():
+    """The shortened conv window (pad to T + max_fs instead of the
+    reference's fixed 500) is EXACTLY the reference computation: every
+    conv window fully inside the zero pad evaluates to relu(b), and the
+    shortened form keeps >=1 such window per tower, so the time max-pool
+    is unchanged (CNN/model.py:299-324)."""
+    cfg = ModelConfig(model="cnn", user_count=USERS, item_count=ITEMS,
+                      cate_count=CATES, max_length=12, cnn_pad_length=500)
+    model = get_model("cnn")
+    rng = np.random.default_rng(3)
+    params = model.init_params(jax.random.PRNGKey(1), cfg)
+    cate_list = jnp.asarray(rng.integers(0, CATES, ITEMS), jnp.int32)
+    batch = make_batch("cnn", rng)
+
+    fast = model.user_repr(params, batch, cate_list, cfg, False)
+
+    # literal reference form: pad the masked sequence to the full 500 and
+    # run the VALID conv towers + time max-pool over the whole length
+    from tlsan_tpu.nn.layers import dense
+    from tlsan_tpu.nn.masks import sequence_mask
+    from tlsan_tpu.nn.embedding import item_cate_lookup
+    h = item_cate_lookup(params["item_emb"], params["cate_emb"],
+                         batch["hist_i"], cate_list)
+    t_onehot = jax.nn.one_hot(batch["hist_t"], 12, dtype=h.dtype)
+    h = dense(jnp.concatenate([h, t_onehot], axis=-1),
+              params["time_w"], params["time_b"])
+    T = h.shape[1]
+    h = h * sequence_mask(batch["sl"], T).astype(h.dtype)[:, :, None]
+    h = jnp.pad(h, ((0, 0), (0, cfg.cnn_pad_length - T), (0, 0)))
+    lhs = h[:, :, :, None]
+    pooled = []
+    for tw in params["towers"]:
+        conv = jax.lax.conv_general_dilated(
+            lhs, tw["w"], window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+        act = jax.nn.relu(conv + tw["b"])
+        pooled.append(jnp.max(act, axis=1)[:, 0, :])
+    flat = jnp.concatenate(pooled, axis=-1)
+    ref = dense(flat, params["out_w"], params["out_b"])
+
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

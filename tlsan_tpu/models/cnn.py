@@ -88,19 +88,34 @@ class CNN:
         B, T, D = h.shape
         mask = sequence_mask(batch["sl"], T).astype(h.dtype)
         h = h * mask[:, :, None]
-        # zero-pad the time axis to the fixed conv length (CNN/model.py:299-301)
-        pad = cfg.cnn_pad_length - T
-        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
-        lhs = h[:, :, :, None]  # NHWC: [B, 500, D, 1]
+        # The reference zero-pads the time axis to a fixed 500 before the
+        # VALID convs (CNN/model.py:299-301).  Mathematically only windows
+        # that touch a real row matter: every window fully inside the zero
+        # pad evaluates to relu(0 + b), and padding to T + max(filter_sizes)
+        # still leaves >=1 such all-zero window per tower (window at
+        # position T covers rows T..T+fs-1, all zero), so the max-pool over
+        # the shortened conv equals the max-pool over the 500-long conv
+        # exactly.  That cuts the conv FLOPs ~ (500 / (T + 10)) ~ 5x at the
+        # reference's T=90 (tests/test_all_models.py::test_cnn_short_window
+        # checks equality against the literal padded-to-500 form).
+        pad_len = min(cfg.cnn_pad_length, T + max(cfg.cnn_filter_sizes))
+        h = jnp.pad(h, ((0, 0), (0, pad_len - T), (0, 0)))
 
         pooled = []
         for tw in params["towers"]:
-            conv = jax.lax.conv_general_dilated(
-                lhs, tw["w"], window_strides=(1, 1), padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=jax.lax.Precision.HIGHEST)
-            act = jax.nn.relu(conv + tw["b"])       # [B, 500-fs+1, 1, F]
-            pooled.append(jnp.max(act, axis=1)[:, 0, :])  # max over time
+            fs = tw["w"].shape[0]
+            P = pad_len - fs + 1
+            # im2col + matmul instead of lax.conv: each filter spans the
+            # full feature width D, so the VALID conv is exactly a GEMM of
+            # [B, P, fs*D] windows against [fs*D, F] — the MXU-native form,
+            # and it stays a clean batched GEMM under the replica-fan-out
+            # vmap (per-replica filters turn lax.conv into a grouped conv
+            # XLA lowers poorly).  Same FLOPs, same f32 HIGHEST contraction.
+            win = jnp.stack([h[:, k:k + P, :] for k in range(fs)], axis=2)
+            conv = jnp.einsum("bpkd,kdf->bpf", win, tw["w"][:, :, 0, :],
+                              precision=jax.lax.Precision.HIGHEST)
+            act = jax.nn.relu(conv + tw["b"])       # [B, P, F]
+            pooled.append(jnp.max(act, axis=1))     # max over time
         flat = jnp.concatenate(pooled, axis=-1)     # [B, 320]
         rng = batch.get("dropout_rng")
         if rng is not None and cfg.dropout > 0.0:
