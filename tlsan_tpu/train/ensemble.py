@@ -190,6 +190,9 @@ class ReplicaFanout:
             "compile_s": round(compile_s or 0.0, 2),
             "post_compile_wall_s": round(wall - (compile_s or 0.0), 2),
             "replica_examples_per_s": round(examples / wall, 1),
+            # compile-excluded rate: short probes are compile-dominated
+            "post_compile_replica_examples_per_s": round(
+                examples / max(wall - (compile_s or 0.0), 1e-9), 1),
             "curves": curves,
         }
 
