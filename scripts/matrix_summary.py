@@ -45,6 +45,26 @@ PUBLISHED = {
                            bilstm=0.8012, shan=0.8797, tlsan=0.9309),
 }
 
+# the reference's OWN code measured in this environment (ref_tf_run.py,
+# default flags/seed unless noted) — RESULTS.md "reference's own code
+# measured on ALL SEVEN datasets" + the per-family Clothing/DM studies.
+# Published numbers exceed what the code reproduces on every dataset.
+REF_IN_ENV = {
+    ("Clothing_Shoes_and_Jewelry", "tlsan"): 0.9348,
+    ("Digital_Music", "tlsan"): 0.9668,
+    ("Office_Products", "tlsan"): 0.9669,
+    ("Video_Games", "tlsan"): 0.9111,
+    ("Beauty", "tlsan"): 0.9257,
+    ("Toys_and_Games", "tlsan"): 0.9145,
+    ("Home_and_Kitchen", "tlsan"): 0.8755,
+    ("Clothing_Shoes_and_Jewelry", "atrank"): 0.6910,   # best of 8 seeds
+    ("Clothing_Shoes_and_Jewelry", "shan"): 0.7279,
+    ("Clothing_Shoes_and_Jewelry", "lspm"): 0.6234,
+    ("Clothing_Shoes_and_Jewelry", "paca"): 0.7925,
+    ("Clothing_Shoes_and_Jewelry", "cnn"): 0.6711,      # matched-step bound
+    ("Clothing_Shoes_and_Jewelry", "bpr"): 0.6358,
+}
+
 # envelope JSON per (dataset, family) — naming grew across the round, so the
 # two legacy dataset columns are special-cased
 def cell_paths(ds, fam):
@@ -97,8 +117,14 @@ def main():
             tally[verdict] += 1
             scales = set(cell.get("lr_scales", [1.0]))
             tuned = "" if scales == {1.0} else " (lr-tuned)"
+            code = REF_IN_ENV.get((ds, fam))
+            code_s = ""
+            if code is not None:
+                beat = "beats" if hi >= code else "below"
+                code_s = f", code {code:.4f} ({beat})"
             row.append(
-                f"{mean:.4f} [{lo:.4f},{hi:.4f}] {verdict}{pub:.4f}{tuned}")
+                f"{mean:.4f} [{lo:.4f},{hi:.4f}] {verdict}{pub:.4f}"
+                f"{tuned}{code_s}")
         lines.append("| " + " | ".join(row) + " |")
     lines.append("")
     lines.append(f"verdicts: mean>=published {tally['>']}, "
