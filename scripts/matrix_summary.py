@@ -84,11 +84,25 @@ def cell_paths(ds, fam):
 
 
 def load_cell(ds, fam):
+    """Merge the base envelope with any seed-extension file
+    (<name>_ext.json, written by the near-miss follow-up pass)."""
     for name in cell_paths(ds, fam):
         p = os.path.join(RUNS, name)
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            cell = json.load(f)
+        ext_p = p.replace(".json", "_ext.json")
+        if os.path.exists(ext_p):
+            with open(ext_p) as f:
+                ext = json.load(f)
+            cell["seeds"] = cell["seeds"] + ext["seeds"]
+            cell["best_auc"] = cell["best_auc"] + ext["best_auc"]
+            cell["lr_scales"] = cell["lr_scales"] + ext["lr_scales"]
+            aucs = cell["best_auc"]
+            cell["mean_best"] = round(sum(aucs) / len(aucs), 6)
+            cell["range"] = [min(aucs), max(aucs)]
+        return cell
     return None
 
 
