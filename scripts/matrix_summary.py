@@ -65,6 +65,10 @@ REF_IN_ENV = {
     ("Clothing_Shoes_and_Jewelry", "bpr"): 0.6358,
 }
 
+# cells whose seed envelope was run at a measured LR optimum instead of the
+# published default (both documented in RESULTS.md with the default-LR run)
+LR_TUNED = {("Clothing_Shoes_and_Jewelry", "lspm"), ("Digital_Music", "lspm")}
+
 # envelope JSON per (dataset, family) — naming grew across the round, so the
 # two legacy dataset columns are special-cased
 def cell_paths(ds, fam):
@@ -76,6 +80,10 @@ def cell_paths(ds, fam):
             names = ["lspm_seeds.json"]
     elif ds == "Digital_Music":
         names = ["dm8.json"] if fam == "tlsan" else [f"dm_{fam}8.json"]
+        if fam == "lspm":
+            # DM LSPM seed envelope at its measured LR optimum 0.3
+            # (RESULTS.md "baseline families on Digital-Music")
+            names = ["dm_lspm_lr03.json"]
     elif fam == "tlsan":
         names = [f"tlsan_{ds}.json"]
     else:
@@ -130,7 +138,8 @@ def main():
                        "~" if lo <= pub <= hi else "<")
             tally[verdict] += 1
             scales = set(cell.get("lr_scales", [1.0]))
-            tuned = "" if scales == {1.0} else " (lr-tuned)"
+            tuned = ("" if scales == {1.0} and (ds, fam) not in LR_TUNED
+                     else " (lr-tuned)")
             code = REF_IN_ENV.get((ds, fam))
             code_s = ""
             if code is not None:
