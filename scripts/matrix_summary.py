@@ -69,6 +69,10 @@ REF_IN_ENV = {
 # published default (both documented in RESULTS.md with the default-LR run)
 LR_TUNED = {("Clothing_Shoes_and_Jewelry", "lspm"), ("Digital_Music", "lspm")}
 
+# cells whose envelope used an extended epoch budget (the published number
+# is unreachable at the reference's own default flags — RESULTS.md probes)
+EPOCH_EXTENDED = {("Digital_Music", "csan")}
+
 # envelope JSON per (dataset, family) — naming grew across the round, so the
 # two legacy dataset columns are special-cased
 def cell_paths(ds, fam):
@@ -84,6 +88,10 @@ def cell_paths(ds, fam):
             # DM LSPM seed envelope at its measured LR optimum 0.3
             # (RESULTS.md "baseline families on Digital-Music")
             names = ["dm_lspm_lr03.json"]
+        if fam == "csan":
+            # the default 20-epoch budget leaves the DM curve still
+            # climbing; the 120-epoch envelope is the converged one
+            names = ["dm_csan120.json"]
     elif fam == "tlsan":
         names = [f"tlsan_{ds}.json"]
     else:
@@ -140,6 +148,8 @@ def main():
             scales = set(cell.get("lr_scales", [1.0]))
             tuned = ("" if scales == {1.0} and (ds, fam) not in LR_TUNED
                      else " (lr-tuned)")
+            if (ds, fam) in EPOCH_EXTENDED:
+                tuned += " (epoch-extended)"
             code = REF_IN_ENV.get((ds, fam))
             code_s = ""
             if code is not None:
