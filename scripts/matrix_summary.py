@@ -57,6 +57,7 @@ REF_IN_ENV = {
     ("Beauty", "tlsan"): 0.9257,
     ("Toys_and_Games", "tlsan"): 0.9145,
     ("Home_and_Kitchen", "tlsan"): 0.8755,
+    ("Office_Products", "shan"): 0.9436,   # runs/ref_tf/shan_office.log
     ("Clothing_Shoes_and_Jewelry", "atrank"): 0.6743,   # n=8 mean
     ("Clothing_Shoes_and_Jewelry", "shan"): 0.7279,
     ("Clothing_Shoes_and_Jewelry", "lspm"): 0.6234,
