@@ -1,0 +1,37 @@
+#!/bin/bash
+# LSPM LR follow-up for the four matrix datasets: the default-lr (1.0)
+# envelopes land below published on all four, reproducing the Clothing /
+# Digital-Music finding that the published LSPM column reflects a tuned
+# learning rate (measured optima 0.2 / 0.3 there, RESULTS.md).  Protocol is
+# identical to those studies: one-seed sweep over 8 lr scales, then an
+# 8-seed envelope at the measured optimum (annotated lr-tuned in the matrix).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p runs/r3
+
+for ds in Toys_and_Games Beauty Video_Games Home_and_Kitchen; do
+  sweep="runs/r3/fanout_${ds}_lspm_lr.json"
+  if [ ! -s "$sweep" ]; then
+    python -m tlsan_tpu.train.ensemble --model lspm --dataset "$ds" \
+      --max_epochs 10 \
+      --seeds 1234 1234 1234 1234 1234 1234 1234 1234 \
+      --lr_scales 0.05 0.1 0.2 0.3 0.5 0.7 1.0 1.5 \
+      --out "$sweep" > "runs/r3/fanout_${ds}_lspm_lr.log" 2>&1
+  fi
+  out="runs/r3/fanout_${ds}_lspm8_tuned.json"
+  if [ -s "$out" ]; then echo "skip $out (exists)"; continue; fi
+  best=$(python - "$sweep" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+i = max(range(len(d["best_auc"])), key=lambda k: d["best_auc"][k])
+print(round(d["lr_scales"][i], 4))
+EOF
+)
+  echo "$ds lspm lr optimum scale=$best"
+  python -m tlsan_tpu.train.ensemble --model lspm --dataset "$ds" \
+    --max_epochs 10 \
+    --lr_scales $best $best $best $best $best $best $best $best \
+    --out "$out" > "runs/r3/fanout_${ds}_lspm8_tuned.log" 2>&1
+  tail -1 "runs/r3/fanout_${ds}_lspm8_tuned.log"
+done
+echo LSPM_LR_MATRIX_DONE
