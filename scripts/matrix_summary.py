@@ -96,7 +96,9 @@ def cell_paths(ds, fam):
     elif fam == "tlsan":
         names = [f"tlsan_{ds}.json"]
     else:
-        names = [f"{ds}_{fam}8.json"]
+        # prefer the lr-optimum envelope (queue_lspm_lr_matrix.sh) when the
+        # default-lr one landed below published — annotated via lr_scales
+        names = [f"{ds}_{fam}8_tuned.json", f"{ds}_{fam}8.json"]
     return ["fanout_" + n for n in names]
 
 
