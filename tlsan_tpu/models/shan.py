@@ -10,7 +10,18 @@ two-layer hierarchical attention in the 32-d item space:
 
 Deliberately preserved reference quirk: there is NO length masking — padded
 positions (item id 0, a real item) participate in both softmaxes exactly as
-in the reference.
+in the reference.  BUT the reference pads each batch only to the PER-BATCH
+max session length (SHAN/input.py:31-43), so an example of length n sees
+(batch_max − n) pad slots in the softmax — a handful — whereas this
+framework's static packing pads to the dataset max (data/batcher.py), which
+until round 4 silently multiplied the pad-item softmax mass by ~an order of
+magnitude and sank the envelopes 0.07–0.20 below published on the
+long-tailed datasets (VERDICT r3 weak #1).  Softmax-weighted sums are
+permutation-invariant over the key axis, so the reference semantics are
+reproduced exactly under static shapes by limiting each softmax to the
+first max(sl-in-batch) columns: the key multiset {items, pad×(batchmax−n),
+(layer2: ∥ long)} then matches SHAN/model.py:307-321 per batch.  Measured:
+runs/r4/fanout_*_shan8.json vs the unlimited r3 envelopes.
 """
 
 from __future__ import annotations
@@ -24,15 +35,28 @@ from tlsan_tpu.nn.embedding import lookup
 from tlsan_tpu.nn.init import glorot_uniform
 
 
-def _attention_layer(query, keys, w, b):
+def _attention_layer(query, keys, w, b, n_cols=None, always_last=False):
     """softmax(query · sigmoid(keys·W + b)ᵀ) weighted sum of keys.
 
     query [B, E], keys [B, L, E] → [B, E]  (SHAN/model.py:307-312).
+
+    n_cols (traced scalar) limits the softmax to the first n_cols key
+    columns — the per-batch max the reference's dynamic padding produces
+    (SHAN/input.py:31-43); columns inside the limit but past an example's
+    own length stay UNMASKED (pad item 0 participates, the reference
+    quirk).  always_last additionally keeps the final column (layer2's
+    appended long-term vector, SHAN/model.py:314).
     """
     proj = jax.nn.sigmoid(
         jnp.einsum("ble,ef->blf", keys, w, precision="highest") + b)
     scores = jnp.einsum("be,ble->bl", query, proj, precision="highest")
-    weight = jax.nn.softmax(scores, axis=-1)  # no mask (reference quirk)
+    if n_cols is not None:
+        cols = jnp.arange(keys.shape[1])
+        live = cols < n_cols
+        if always_last:
+            live = live | (cols == keys.shape[1] - 1)
+        scores = jnp.where(live[None, :], scores, -jnp.inf)
+    weight = jax.nn.softmax(scores, axis=-1)
     return jnp.sum(keys * weight[:, :, None], axis=1)
 
 
@@ -64,9 +88,16 @@ class SHAN:
         h = lookup(params["item_emb"], batch["hist_i"])
         h_new = lookup(params["item_emb"], batch["hist_i_new"])
 
-        long = _attention_layer(u_emb, h, params["layer1_w"], params["layer1_b"])
+        # per-batch dynamic-padding widths (SHAN/input.py:31-43); eval rows
+        # padded by pad_to_multiple carry sl=0 and cannot raise the max
+        lim1 = jnp.max(batch["sl"])
+        lim2 = jnp.max(batch["sl_new"])
+        long = _attention_layer(u_emb, h, params["layer1_w"],
+                                params["layer1_b"], n_cols=lim1)
         session = jnp.concatenate([h_new, long[:, None, :]], axis=1)
-        return _attention_layer(long, session, params["layer2_w"], params["layer2_b"])
+        return _attention_layer(long, session, params["layer2_w"],
+                                params["layer2_b"], n_cols=lim2,
+                                always_last=True)
 
     @staticmethod
     def item_repr(params, ids, cate_list, cfg: ModelConfig):
