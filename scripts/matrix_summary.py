@@ -13,8 +13,11 @@ per-verdict tally.  Usage: python scripts/matrix_summary.py [--md out.md]
 import argparse
 import json
 import os
+import re
 
 RUNS = os.path.join(os.path.dirname(__file__), "..", "runs", "r3")
+RUNS_R4 = os.path.join(os.path.dirname(__file__), "..", "runs", "r4")
+REF_TF = os.path.join(os.path.dirname(__file__), "..", "runs", "ref_tf")
 
 FAMILIES = ["atrank", "bpr", "cnn", "csan", "lspm", "paca", "bilstm",
             "shan", "tlsan"]
@@ -66,6 +69,36 @@ REF_IN_ENV = {
     ("Clothing_Shoes_and_Jewelry", "bpr"): 0.6358,
 }
 
+
+def _ref_shan_anchors():
+    """Round-4 in-env reference SHAN anchors (VERDICT r3 #1): parse every
+    runs/ref_tf/shan_<ds>[_sN].log best AUC and anchor the cell at the
+    multi-seed MEAN (queue_ref_shan_r4.sh + queue_ref_shan_seeds.sh)."""
+    pat = re.compile(r"Best test_auc: ([0-9.]+)")
+    by_ds = {}
+    if not os.path.isdir(REF_TF):
+        return
+    for fname in sorted(os.listdir(REF_TF)):
+        m = re.match(r"shan_([a-z_]+?)(_s\d+)?\.log$", fname)
+        if not m or m.group(1) == "office":  # Office anchor kept verbatim
+            continue
+        try:
+            text = open(os.path.join(REF_TF, fname)).read()
+        except OSError:
+            continue
+        hit = pat.search(text)
+        if hit:
+            by_ds.setdefault(m.group(1), []).append(float(hit.group(1)))
+    names = {"video_games": "Video_Games", "toys_and_games": "Toys_and_Games",
+             "beauty": "Beauty", "home_and_kitchen": "Home_and_Kitchen"}
+    for key, aucs in by_ds.items():
+        ds = names.get(key)
+        if ds:
+            REF_IN_ENV[(ds, "shan")] = round(sum(aucs) / len(aucs), 4)
+
+
+_ref_shan_anchors()
+
 # cells whose seed envelope was run at a measured LR optimum instead of the
 # published default (both documented in RESULTS.md with the default-LR run)
 LR_TUNED = {("Clothing_Shoes_and_Jewelry", "lspm"), ("Digital_Music", "lspm")}
@@ -77,6 +110,13 @@ EPOCH_EXTENDED = {("Digital_Music", "csan")}
 # envelope JSON per (dataset, family) — naming grew across the round, so the
 # two legacy dataset columns are special-cased
 def cell_paths(ds, fam):
+    if fam == "shan":
+        # round 4 fixed SHAN's static-pad softmax-width bug (models/shan.py
+        # per-batch limit); the fixed-model envelopes live in runs/r4 and
+        # supersede the r3 (old-behavior) ones, which stay as the A/B record
+        p = os.path.join(RUNS_R4, f"fanout_{ds}_shan8.json")
+        if os.path.exists(p):
+            return [p]
     if ds == "Clothing_Shoes_and_Jewelry":
         names = (["clothing8.json"] if fam == "tlsan" else [f"{fam}8.json"])
         if fam == "lspm":
@@ -95,10 +135,14 @@ def cell_paths(ds, fam):
             names = ["dm_csan120.json"]
     elif fam == "tlsan":
         names = [f"tlsan_{ds}.json"]
-    else:
-        # prefer the lr-optimum envelope (queue_lspm_lr_matrix.sh) when the
-        # default-lr one landed below published — annotated via lr_scales
+    elif fam == "lspm":
+        # prefer the lr-optimum envelope (run_matrix_queue.py lspm pairs)
+        # when one exists — LSPM is the one family whose published column
+        # reflects a tuned LR; restricting the preference to lspm keeps a
+        # stray _tuned file from overriding another family (ADVICE r3)
         names = [f"{ds}_{fam}8_tuned.json", f"{ds}_{fam}8.json"]
+    else:
+        names = [f"{ds}_{fam}8.json"]
     return ["fanout_" + n for n in names]
 
 

@@ -188,7 +188,7 @@ class Trainer:
             rows = self.cfg.item_count + self.cfg.user_count
             want_sparse = rows >= self.tc.sparse_auto_rows and not bf16
         self._use_sparse = (
-            self.tc.optimizer in ("sgd", "adam") and self.n_proc == 1
+            self.tc.optimizer in ("sgd", "adam")
             and want_sparse
             and sparse_mod.sparsifiable(self.params, data))
         if self._use_sparse and bf16:
@@ -201,7 +201,18 @@ class Trainer:
                 "contracts); drop --sparse or use compute_dtype=float32")
         if self._use_sparse:
             self._dropout_rng = jax.random.PRNGKey(self.tc.seed + 1)
-            mesh_kw = dict(mesh=mesh, vocab_sharded=self.tc.mp > 1)
+            # multi-PROCESS composition (VERDICT r3 #4): each controller
+            # holds only its host shard of the dataset, so the chunk takes
+            # pre-assembled global dp-sharded batches (_global_batches)
+            # instead of (idx, data); scalars/rng ride in replicated.
+            assembled = self.n_proc > 1
+            mesh_kw = dict(mesh=mesh, vocab_sharded=self.tc.mp > 1,
+                           assembled=assembled)
+
+            def repl(x):
+                from jax.sharding import PartitionSpec as P
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P()), np.asarray(x))
 
             def sparse_ctx():
                 # model lookups act on gathered row blocks (plain takes), so
@@ -219,10 +230,17 @@ class Trainer:
                 def run_sparse(params, opt_state, idx):
                     st = sparse_mod.find_adam_state(opt_state)
                     with sparse_ctx():
-                        params, mu, nu, self._dropout_rng, loss = chunk(
-                            params, st.mu, st.nu,
-                            jnp.asarray(self.step, jnp.int32), idx,
-                            self._dropout_rng, data)
+                        if assembled:
+                            params, mu, nu, self._dropout_rng, loss = chunk(
+                                params, st.mu, st.nu,
+                                repl(np.int32(self.step)),
+                                self._global_batches(np.asarray(idx)),
+                                repl(self._dropout_rng))
+                        else:
+                            params, mu, nu, self._dropout_rng, loss = chunk(
+                                params, st.mu, st.nu,
+                                jnp.asarray(self.step, jnp.int32), idx,
+                                self._dropout_rng, data)
                     opt_state = sparse_mod.replace_adam_state(
                         opt_state, mu, nu, self.step + len(idx))
                     return params, opt_state, loss
@@ -235,9 +253,15 @@ class Trainer:
 
             def run_sparse(params, opt_state, idx):
                 with sparse_ctx():
-                    params, self._dropout_rng, loss = chunk(
-                        params, jnp.asarray(self.step, jnp.int32), idx,
-                        self._dropout_rng, data)
+                    if assembled:
+                        params, self._dropout_rng, loss = chunk(
+                            params, repl(np.int32(self.step)),
+                            self._global_batches(np.asarray(idx)),
+                            repl(self._dropout_rng))
+                    else:
+                        params, self._dropout_rng, loss = chunk(
+                            params, jnp.asarray(self.step, jnp.int32), idx,
+                            self._dropout_rng, data)
                 return params, opt_state, loss
 
             return run_sparse

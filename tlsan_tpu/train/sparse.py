@@ -48,9 +48,12 @@ Mesh composition: under a (dp, mp) mesh the batch is dp-sharded, unique
 ids are replicated, the row gather of an mp-sharded table is the masked
 gather + psum exchange (parallel/sharded_embedding.py), and the touched-row
 scatter runs shard_mapped on each mp shard's local row range.  Engaged by
-the Trainer for optimizer in {'sgd', 'adam'} in single-process mode (the
-multi-process path keeps the dense step; its per-host batch assembly is
-host-resident — train/loop.py).
+the Trainer for optimizer in {'sgd', 'adam'} in single- AND multi-process
+mode: a multi-controller pod builds the chunk with ``assembled=True`` —
+each host contributes only its local dp shard of every batch
+(Trainer._global_batches) and the chunk consumes global [K, B, ...]
+arrays directly, so a 2M-row vocab gets touched-row updates on real pods
+too (VERDICT r3 #4; 2-process Gloo parity in tests/test_multihost.py).
 """
 
 from __future__ import annotations
@@ -213,7 +216,8 @@ def make_gather_space(mesh, gather):
 
 
 def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
-                      schedule, mesh=None, vocab_sharded: bool = False):
+                      schedule, mesh=None, vocab_sharded: bool = False,
+                      assembled: bool = False):
     """Build the jitted fused-scan train chunk with sparse table updates.
 
     Returns ``chunk(params, step0, idx, rng, data) -> (params, rng,
@@ -221,6 +225,12 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
     semantically interchangeable with the dense optax chunk in
     train/loop.py (same carry contract minus opt_state, which SGD doesn't
     need beyond the step count — passed explicitly as ``step0``).
+
+    assembled=True (the multi-PROCESS path, VERDICT r3 #4): the chunk takes
+    pre-assembled global dp-sharded ``[K, B, ...]`` batch arrays instead of
+    ``(idx, data)`` — each controller only holds its host shard of the
+    dataset, so Trainer._global_batches does the per-host slice assembly
+    and the chunk signature becomes ``chunk(params, step0, batches, rng)``.
     """
     spaces = build_spaces(params, data, tc.train_batch_size)
     assert spaces, "model/batch has no sparsifiable id space"
@@ -326,6 +336,20 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
     # (−9% at b512, runs/r3/bench_hoist_*) — large batches gather in-scan
     hoist = tc.train_batch_size <= 128
 
+    if assembled:
+        @partial(jax.jit, donate_argnums=(0,))
+        def chunk(params, step0, batches, rng):
+            step = make_step()
+            q0 = {t: _sq(params[t]) for t in decay_names}
+            s0 = {t: jnp.float32(1.0) for t in decay_names}
+            (params, scale, _, _, rng), losses = jax.lax.scan(
+                step, (params, s0, q0, step0, rng), batches)
+            for t in decay_names:
+                params[t] = params[t] * scale[t]
+            return params, rng, jnp.mean(losses)
+
+        return chunk
+
     @partial(jax.jit, donate_argnums=(0,))
     def chunk(params, step0, idx, rng, data):
         # batch assembly hoisted out of the scan (one gather per array per
@@ -360,7 +384,8 @@ ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
 
 def make_sparse_adam_chunk(model, cfg, tc, cate_list, data, params,
                            use_pallas, schedule, mesh=None,
-                           vocab_sharded: bool = False):
+                           vocab_sharded: bool = False,
+                           assembled: bool = False):
     """Fused-scan train chunk with scatter-based Adam moments.
 
     Exact dense-Adam semantics (= optax.chain(clip_by_global_norm,
@@ -484,6 +509,16 @@ def make_sparse_adam_chunk(model, cfg, tc, cate_list, data, params,
     from functools import partial
 
     hoist = tc.train_batch_size <= 128  # same measured gate as above
+
+    if assembled:  # multi-process: pre-assembled global batches (see
+        # make_sparse_chunk docstring)
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def chunk(params, mu, nu, step0, batches, rng):
+            (params, mu, nu, _, rng), losses = jax.lax.scan(
+                make_step(), (params, mu, nu, step0, rng), batches)
+            return params, mu, nu, rng, jnp.mean(losses)
+
+        return chunk
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def chunk(params, mu, nu, step0, idx, rng, data):
