@@ -200,7 +200,8 @@ def main():
             code = REF_IN_ENV.get((ds, fam))
             code_s = ""
             if code is not None:
-                beat = "beats" if mean >= code else "below"
+                beat = ("beats" if mean >= code else
+                        "in-env" if lo <= code <= hi else "below")
                 code_s = f", code {code:.4f} ({beat})"
             row.append(
                 f"{mean:.4f} [{lo:.4f},{hi:.4f}] {verdict}{pub:.4f}"
