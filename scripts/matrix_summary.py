@@ -90,7 +90,8 @@ def _ref_shan_anchors():
         if hit:
             by_ds.setdefault(m.group(1), []).append(float(hit.group(1)))
     names = {"video_games": "Video_Games", "toys_and_games": "Toys_and_Games",
-             "beauty": "Beauty", "home_and_kitchen": "Home_and_Kitchen"}
+             "beauty": "Beauty", "home_and_kitchen": "Home_and_Kitchen",
+             "digital_music": "Digital_Music"}
     for key, aucs in by_ds.items():
         ds = names.get(key)
         if ds:
