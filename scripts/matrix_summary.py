@@ -179,6 +179,8 @@ def main():
     lines.append("| dataset | " + " | ".join(FAMILIES) + " |")
     lines.append("|---" * (len(FAMILIES) + 1) + "|")
     tally = {">": 0, "~": 0, "<": 0, "?": 0}
+    tally4 = {"below-pub, matches measured code": 0,
+              "below-pub, no code anchor": 0}
     for ds, pub_row in PUBLISHED.items():
         row = [ds.replace("_", "-")]
         for fam in FAMILIES:
@@ -204,6 +206,14 @@ def main():
                 beat = ("beats" if mean >= code else
                         "in-env" if lo <= code <= hi else "below")
                 code_s = f", code {code:.4f} ({beat})"
+            if verdict == "<":
+                # VERDICT r3 #3 four-way labeling: a below-published cell
+                # is honestly closed iff it contains or beats the measured
+                # in-env reference code
+                if code is not None and (mean >= code or lo <= code <= hi):
+                    tally4["below-pub, matches measured code"] += 1
+                else:
+                    tally4["below-pub, no code anchor"] += 1
             row.append(
                 f"{mean:.4f} [{lo:.4f},{hi:.4f}] {verdict}{pub:.4f}"
                 f"{tuned}{code_s}")
@@ -213,6 +223,11 @@ def main():
                  f"published-in-envelope {tally['~']}, "
                  f"below {tally['<']}, pending {tally['?']} "
                  f"(of {len(PUBLISHED) * len(FAMILIES)})")
+    lines.append(f"below-published breakdown: "
+                 f"{tally4['below-pub, matches measured code']} match the "
+                 f"measured in-env reference code, "
+                 f"{tally4['below-pub, no code anchor']} without a code "
+                 f"anchor")
     out = "\n".join(lines)
     print(out)
     if args.md:
