@@ -165,7 +165,16 @@ def run_cell(cell, dry=False):
         print(f"[queue] RUN  {cell['name']} (attempt {attempt}) -> {out}",
               flush=True)
         with open(log, "a") as lf:
-            rc = subprocess.run(cmd, stdout=lf, stderr=lf, cwd=REPO).returncode
+            # hard per-cell timeout: a dropped tunnel RPC leaves the client
+            # SLEEPING forever (observed round 4: 7s CPU over 40 min), which
+            # no exit-code retry can catch — kill and count as a failed
+            # attempt.  2h comfortably covers the slowest cell (CSAN ~15 min)
+            try:
+                rc = subprocess.run(cmd, stdout=lf, stderr=lf, cwd=REPO,
+                                    timeout=7200).returncode
+            except subprocess.TimeoutExpired:
+                rc = -9
+                lf.write("\n[queue] cell timed out after 7200s, killed\n")
         if rc == 0 and done(out):
             print(f"[queue] DONE {cell['name']}")
             failed = out.replace(".json", ".FAILED.json")

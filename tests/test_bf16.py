@@ -159,14 +159,25 @@ def test_bf16_mesh_trainer_runs(tmp_path):
     assert np.isfinite(float(loss))
 
 
-def test_bf16_rejects_forced_sparse(tmp_path):
+def test_bf16_sparse_trainer_runs(tmp_path):
+    """Forced sparse × bf16 now composes (round 4): the touched-row chunk
+    casts to bf16 only inside loss_fn, masters stay f32.  Parity vs the
+    dense bf16 step lives in test_sparse.py; here the full Trainer wiring
+    (chunk signature, carry, step count) must run and keep f32 masters."""
     train, test, cate_list = synthetic()
     cfg = ModelConfig(model="tlsan", user_count=20, item_count=30,
                       cate_count=5, Ls=10, Ts=8)
     tc = TrainConfig(model_dir=str(tmp_path / "sp"), sparse_updates=True,
-                     compute_dtype="bfloat16")
-    with pytest.raises(ValueError, match="sparse"):
-        Trainer(TLSAN, cfg, tc, cate_list, train, test, use_pallas=False)
+                     max_epochs=1, train_batch_size=32, test_batch_size=64,
+                     steps_per_call=4, eval_freq=10**9, best_after_step=0,
+                     learning_rate=0.5, compute_dtype="bfloat16")
+    tr = Trainer(TLSAN, cfg, tc, cate_list, train, test, use_pallas=False)
+    assert tr._use_sparse
+    idx = tr._epoch_index(0)[0]
+    params, _, loss = tr._train_chunk(tr.params, tr.opt_state, idx)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32
 
 
 def test_bad_compute_dtype_rejected(tmp_path):

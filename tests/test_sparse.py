@@ -22,6 +22,7 @@ from tlsan_tpu.data.batcher import Batches
 from tlsan_tpu.models import get_model
 from tlsan_tpu.train import sparse
 from tlsan_tpu.train.cli import prepare
+from tlsan_tpu.train import state as state_mod
 from tlsan_tpu.train.state import lr_schedule, make_optimizer
 
 DATA = "/root/reference/Data/Clothing_Shoes_and_Jewelry.pkl"
@@ -45,10 +46,13 @@ def _setup(model_name, B=8, steps=30, seed=7):
 
 
 def _dense_chunk(model, cfg, tc, cate_list, data):
-    """The dense optax step, mirroring train/loop.py."""
+    """The dense optax step, mirroring train/loop.py (incl. its bf16 gate)."""
     opt = make_optimizer(tc)
+    bf16 = state_mod.wants_bf16(tc)
 
     def loss_fn(params, batch):
+        if bf16:
+            params, batch = state_mod.bf16_cast(params), state_mod.bf16_cast(batch)
         return model.loss(params, batch, cate_list, cfg, False)
 
     @jax.jit
@@ -235,3 +239,77 @@ def test_sparse_matches_dense_large_batch_inscan():
         jax.tree_util.tree_map(jnp.copy, zeros),
         jnp.asarray(0, jnp.int32), idx, jax.random.PRNGKey(0), data)
     _assert_tree_close(p_sparse_a, p_dense_a, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("model_name", ["tlsan", "atrank"])
+def test_sparse_bf16_matches_dense_bf16(model_name):
+    """sparse × bf16 (VERDICT r3 #4's last leg): the touched-row SGD chunk
+    under compute_dtype=bfloat16 equals the dense optax step under the same
+    mixed-precision gate.  Both paths cast params+batch to bf16 only inside
+    loss_fn (f32 master weights, f32 grads via the cast's VJP); the sparse
+    chunk's analytic L2-decay/clip-norm recurrence runs on the f32 masters,
+    so agreement here proves the recurrence is untouched by the bf16 network
+    compute.  Tolerances are wider than the f32 tests: the two programs fuse
+    differently, and bf16 rounding (~3 significant digits) amplifies
+    reassociation differences over the 30-step scan."""
+    model, cfg, tc, data, cate_list, idx, params = _setup(model_name)
+    tc = dataclasses.replace(tc, compute_dtype="bfloat16")
+
+    dense = _dense_chunk(model, cfg, tc, cate_list, data)
+    p_dense, _, losses_dense = dense(
+        jax.tree_util.tree_map(jnp.copy, params), idx)
+
+    chunk = sparse.make_sparse_chunk(
+        model, cfg, tc, cate_list, data, params, False, lr_schedule(tc))
+    p_sparse, _, loss_sparse = chunk(
+        jax.tree_util.tree_map(jnp.copy, params),
+        jnp.asarray(0, jnp.int32), idx, jax.random.PRNGKey(0), data)
+
+    # masters stay f32 on both paths
+    for leaf in jax.tree_util.tree_leaves(p_sparse):
+        assert leaf.dtype == jnp.float32
+    _assert_tree_close(p_sparse, p_dense, rtol=2e-2, atol=2e-3,
+                       tag=f"{model_name} bf16")
+    np.testing.assert_allclose(float(loss_sparse),
+                               float(jnp.mean(losses_dense)), rtol=1e-2)
+
+
+def test_sparse_adam_bf16_matches_dense_bf16():
+    """The scatter-moment Adam chunk composes with bf16 the same way."""
+    model, cfg, tc, data, cate_list, idx, params = _setup("tlsan", steps=15)
+    tc = dataclasses.replace(tc, optimizer="adam", learning_rate=0.01,
+                             compute_dtype="bfloat16")
+
+    dense = _dense_chunk(model, cfg, tc, cate_list, data)
+    p_dense, st_dense, _ = dense(
+        jax.tree_util.tree_map(jnp.copy, params), idx)
+    adam_dense = sparse.find_adam_state(st_dense)
+
+    chunk = sparse.make_sparse_adam_chunk(
+        model, cfg, tc, cate_list, data, params, False, lr_schedule(tc))
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    p_sparse, mu, nu, _, _ = chunk(
+        jax.tree_util.tree_map(jnp.copy, params),
+        jax.tree_util.tree_map(jnp.copy, zeros),
+        jax.tree_util.tree_map(jnp.copy, zeros),
+        jnp.asarray(0, jnp.int32), idx, jax.random.PRNGKey(0), data)
+
+    for leaf in jax.tree_util.tree_leaves((p_sparse, mu, nu)):
+        assert leaf.dtype == jnp.float32
+    # Under bf16, Adam's sqrt(nu) normalization makes updates on
+    # cancellation-dominated leaves (FFN biases with ~1e-10 grads) sign-like
+    # in the grads' bf16 rounding noise, so those params random-walk apart
+    # between ANY two compiled programs (measured maxabs 3.2e-2 after 15
+    # steps; /tmp repro in the round-4 notes).  The moments, by contrast,
+    # are LINEAR in the grads — their agreement proves the gradient flow and
+    # the analytic untouched-row recurrence are identical to bf16 rounding:
+    # measured mu maxabs ≤ 4e-5, nu ≤ 1e-8 across every leaf.  Assert the
+    # moments tightly (5× envelope) and cap params at the walk envelope.
+    _assert_tree_close(mu, adam_dense.mu, rtol=5e-2, atol=2e-4,
+                       tag="tlsan adam bf16 mu")
+    _assert_tree_close(nu, adam_dense.nu, rtol=5e-2, atol=1e-7,
+                       tag="tlsan adam bf16 nu")
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(p_sparse))
+    for path, w in jax.tree_util.tree_leaves_with_path(p_dense):
+        err = np.abs(np.asarray(flat_g[path]) - np.asarray(w))
+        assert err.max() < 1e-1, (jax.tree_util.keystr(path), err.max())

@@ -34,24 +34,8 @@ from tlsan_tpu.train import checkpoint as ckpt
 from tlsan_tpu.train.evaluate import Evaluator
 from tlsan_tpu.train.metrics import MetricWriter
 from tlsan_tpu.train.state import make_optimizer
-
-
-def _bf16_cast(tree):
-    """Cast every f32 leaf to bf16 (mixed-precision forward/backward compute;
-    master params and optimizer state stay f32 — the f32→bf16 cast's VJP
-    casts the bf16 cotangents back up, so gradients land in f32)."""
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if getattr(x, "dtype", None) == jnp.float32 else x, tree)
-
-
-def _wants_bf16(tc: TrainConfig) -> bool:
-    dt = tc.compute_dtype
-    if dt in ("float32", "f32", "fp32"):
-        return False
-    if dt in ("bfloat16", "bf16"):
-        return True
-    raise ValueError(f"compute_dtype must be float32 or bfloat16, got {dt!r}")
+from tlsan_tpu.train.state import bf16_cast as _bf16_cast
+from tlsan_tpu.train.state import wants_bf16 as _wants_bf16
 
 
 class _NullWriter:
@@ -186,19 +170,16 @@ class Trainer:
         if want_sparse is None:  # auto: by total vocab rows (measured
             # crossover ~100k rows on v5e — RESULTS.md round-2 study)
             rows = self.cfg.item_count + self.cfg.user_count
-            want_sparse = rows >= self.tc.sparse_auto_rows and not bf16
+            want_sparse = rows >= self.tc.sparse_auto_rows
         self._use_sparse = (
             self.tc.optimizer in ("sgd", "adam")
             and want_sparse
             and sparse_mod.sparsifiable(self.params, data))
-        if self._use_sparse and bf16:
-            # raised only when the sparse path would actually engage —
-            # a forced --sparse under e.g. rmsprop falls to the dense path
-            # regardless, so bf16 is fine there
-            raise ValueError(
-                "sparse_updates requires float32 compute (the touched-row "
-                "chunk's analytic L2 decay and clip-norm recurrence are f32 "
-                "contracts); drop --sparse or use compute_dtype=float32")
+        # sparse × bf16 composes: the chunk casts the gathered rows + dense
+        # leaves to bf16 only inside loss_fn (grads land f32 via the cast's
+        # VJP), while the analytic L2-decay/clip-norm recurrence runs on the
+        # f32 master rows — the same master-weight discipline as the dense
+        # mixed-precision path (tests/test_sparse.py::test_sparse_bf16_*)
         if self._use_sparse:
             self._dropout_rng = jax.random.PRNGKey(self.tc.seed + 1)
             # multi-PROCESS composition (VERDICT r3 #4): each controller

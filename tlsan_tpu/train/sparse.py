@@ -63,6 +63,8 @@ from typing import Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
+from tlsan_tpu.train.state import bf16_cast, wants_bf16
+
 # id spaces: which batch keys hold ids of a space, and which param tables
 # are indexed by that space (models use the subset present in their params)
 ITEM_KEYS: Tuple[str, ...] = ("hist_i", "hist_i_new", "i", "j")
@@ -245,8 +247,16 @@ def make_sparse_chunk(model, cfg, tc, cate_list, data, params, use_pallas,
     gather, scatter_add = make_table_ops(mesh, vocab_sharded)
     constrain = make_batch_constrain(mesh)
     gather_space = make_gather_space(mesh, gather)
+    bf16 = wants_bf16(tc)
 
     def loss_fn(sub_params, batch, local_cate):
+        # mixed precision composes with the touched-row machinery by casting
+        # ONLY here: the network runs bf16, the cast's VJP returns f32
+        # cotangents, and the analytic L2/clip recurrence outside stays on
+        # the f32 master rows (same discipline as the dense path)
+        if bf16:
+            sub_params = bf16_cast(sub_params)
+            batch = bf16_cast(batch)
         return model.loss(sub_params, batch, local_cate, cfg, use_pallas)
 
     def make_step():
@@ -413,8 +423,13 @@ def make_sparse_adam_chunk(model, cfg, tc, cate_list, data, params,
     gather, scatter_add = make_table_ops(mesh, vocab_sharded)
     constrain = make_batch_constrain(mesh)
     gather_space = make_gather_space(mesh, gather)
+    bf16 = wants_bf16(tc)
 
     def loss_fn(sub_params, batch, local_cate):
+        # bf16 network compute, f32 master rows/moments (see the SGD chunk)
+        if bf16:
+            sub_params = bf16_cast(sub_params)
+            batch = bf16_cast(batch)
         return model.loss(sub_params, batch, local_cate, cfg, use_pallas)
 
     def make_step():

@@ -16,6 +16,26 @@ import optax
 from tlsan_tpu.core.config import TrainConfig
 
 
+def bf16_cast(tree):
+    """Cast every f32 leaf to bf16 (mixed-precision forward/backward compute;
+    master params and optimizer state stay f32 — the f32→bf16 cast's VJP
+    casts the bf16 cotangents back up, so gradients land in f32)."""
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if getattr(x, "dtype", None) == jnp.float32 else x, tree)
+
+
+def wants_bf16(tc: TrainConfig) -> bool:
+    dt = tc.compute_dtype
+    if dt in ("float32", "f32", "fp32"):
+        return False
+    if dt in ("bfloat16", "bf16"):
+        return True
+    raise ValueError(f"compute_dtype must be float32 or bfloat16, got {dt!r}")
+
+
 def lr_schedule(tc: TrainConfig):
     """Step schedule: lr until lr_drop_step, then lr×0.1
     (reference: TLSAN/train.py:232-233; drop step varies per trainer)."""
