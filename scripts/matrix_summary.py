@@ -228,6 +228,22 @@ def main():
                  f"measured in-env reference code, "
                  f"{tally4['below-pub, no code anchor']} without a code "
                  f"anchor")
+    # the honest whole-matrix sentence (VERDICT r3 weak #2) — generated
+    # from the measured cells so README/RESULTS can quote it verbatim
+    total = len(PUBLISHED) * len(FAMILIES)
+    lines.append("")
+    lines.append(
+        f"headline: of the {total} published accuracy cells on the shipped "
+        f"datasets, {tally['>']} are beaten on the 8-seed mean, "
+        f"{tally['~']} contain the published number in the seed envelope, "
+        f"and {tally['<']} sit below it"
+        + (f" ({tally4['below-pub, matches measured code']} of which match "
+           f"the reference code's own measured in-env score, i.e. the "
+           f"publication, not the code, is what's unreached"
+           + (f"; {tally4['below-pub, no code anchor']} remain unanchored"
+              if tally4['below-pub, no code anchor'] else "") + ")"
+           if tally['<'] else "")
+        + (f"; {tally['?']} pending" if tally["?"] else "") + ".")
     out = "\n".join(lines)
     print(out)
     if args.md:
