@@ -65,6 +65,10 @@ def main():
                         "amortizes the ~25ms tunnel RPC (VERDICT r2 #5)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--optimizer", default="sgd")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["f32", "float32", "bf16", "bfloat16"],
+                   help="bf16 composes with --sparse (round 4): bf16 "
+                        "network compute over f32 master rows")
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--mp", type=int, default=1)
     p.add_argument("--platform", default=None, choices=["cpu", "default"],
@@ -113,6 +117,8 @@ def main():
     tc = TrainConfig(model_dir=args.model_dir, max_epochs=args.epochs,
                      eval_freq=10**9, best_after_step=0, save_auc_gate=2.0,
                      sparse_updates=args.sparse,
+                     compute_dtype={"f32": "float32", "bf16": "bfloat16"}.get(
+                         args.compute_dtype, args.compute_dtype),
                      steps_per_call=args.steps_per_call,
                      train_batch_size=args.batch,
                      optimizer=args.optimizer,
@@ -140,6 +146,7 @@ def main():
             "backend": jax.default_backend(), "sparse": args.sparse,
             "steps_per_call": args.steps_per_call, "batch": args.batch,
             "optimizer": args.optimizer, "dp": args.dp, "mp": args.mp,
+            "compute_dtype": args.compute_dtype,
         }), flush=True)
         return
     t0 = time.perf_counter()
@@ -164,6 +171,7 @@ def main():
         "backend": jax.default_backend(), "sparse": args.sparse,
         "steps_per_call": args.steps_per_call, "batch": args.batch,
         "optimizer": args.optimizer, "dp": args.dp, "mp": args.mp,
+            "compute_dtype": args.compute_dtype,
     }), flush=True)
 
 
