@@ -100,6 +100,31 @@ def _ref_shan_anchors():
 
 _ref_shan_anchors()
 
+
+def _ref_family_anchors():
+    """Round-4 anchors for the other below-published unanchored cells
+    (queue_ref_anchor_r4.sh / queue_ref_anchor2_r4.sh): parse
+    runs/ref_tf/<family>_<dataset>.log best AUC for the non-SHAN families
+    the same way.  Named logs only — a glob would re-parse the SHAN set."""
+    pat = re.compile(r"Best test_auc: ([0-9.]+)")
+    logs = {
+        ("Office_Products", "bilstm"): "bi_lstm_office_products.log",
+        ("Toys_and_Games", "bilstm"): "bi_lstm_toys_and_games.log",
+        ("Office_Products", "csan"): "csan_office_products.log",
+        ("Toys_and_Games", "lspm"): "lspm_toys_and_games.log",
+    }
+    for key, fname in logs.items():
+        try:
+            text = open(os.path.join(REF_TF, fname)).read()
+        except OSError:
+            continue
+        hit = pat.search(text)
+        if hit:
+            REF_IN_ENV.setdefault(key, round(float(hit.group(1)), 4))
+
+
+_ref_family_anchors()
+
 # cells whose seed envelope was run at a measured LR optimum instead of the
 # published default (both documented in RESULTS.md with the default-LR run)
 LR_TUNED = {("Clothing_Shoes_and_Jewelry", "lspm"), ("Digital_Music", "lspm")}
