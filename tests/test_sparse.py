@@ -313,3 +313,36 @@ def test_sparse_adam_bf16_matches_dense_bf16():
     for path, w in jax.tree_util.tree_leaves_with_path(p_dense):
         err = np.abs(np.asarray(flat_g[path]) - np.asarray(w))
         assert err.max() < 1e-1, (jax.tree_util.keystr(path), err.max())
+
+
+def test_sparse_auto_gate_adam_batch():
+    """The AUTO gate's Adam exception (round-4 2M-row A/B,
+    runs/r4/synth2m_adam_*): exact optax-Adam semantics force dense
+    per-step moment passes, so auto-sparse only pays off for adam in the
+    small-batch latency regime — adam at batch > 128 stays dense, adam at
+    b32 and SGD at any batch engage sparse above the row threshold.
+    Forced --sparse always wins over the auto gate."""
+    from tests.test_train import synthetic
+    from tlsan_tpu.models.tlsan import TLSAN
+    from tlsan_tpu.train.loop import Trainer
+
+    train, test, cate_list = synthetic()
+    cfg = ModelConfig(model="tlsan", user_count=20, item_count=30,
+                      cate_count=5, Ls=10, Ts=8)
+
+    def use_sparse(optimizer, batch, forced=None, rows_gate=1):
+        tc = TrainConfig(model_dir="/tmp/gate", optimizer=optimizer,
+                         learning_rate=0.01, train_batch_size=batch,
+                         test_batch_size=64, sparse_updates=forced,
+                         sparse_auto_rows=rows_gate, steps_per_call=2,
+                         max_epochs=1, eval_freq=10**9)
+        tr = Trainer(TLSAN, cfg, tc, cate_list, train, test,
+                     use_pallas=False)
+        return tr._use_sparse
+
+    assert use_sparse("sgd", 32)
+    assert use_sparse("sgd", 512)
+    assert use_sparse("adam", 32)
+    assert not use_sparse("adam", 512)          # the measured exception
+    assert use_sparse("adam", 512, forced=True)  # forcing still works
+    assert not use_sparse("sgd", 32, rows_gate=10**9)  # below threshold

@@ -171,6 +171,15 @@ class Trainer:
             # crossover ~100k rows on v5e — RESULTS.md round-2 study)
             rows = self.cfg.item_count + self.cfg.user_count
             want_sparse = rows >= self.tc.sparse_auto_rows
+            # Adam exception (round-4 2M-row A/B, runs/r4/synth2m_adam_*):
+            # exact optax semantics force dense per-step moment-decay
+            # passes, so sparse-Adam only wins in the small-batch latency
+            # regime (+31% at b32) and LOSES at large batch (−23% at b512)
+            # single-chip.  Auto keeps dense there; forcing --sparse stays
+            # available for multi-host runs, where touched-row updates cut
+            # the grad collective 264 MB → 35 MB/step (design.md).
+            if self.tc.optimizer == "adam" and self.tc.train_batch_size > 128:
+                want_sparse = False
         self._use_sparse = (
             self.tc.optimizer in ("sgd", "adam")
             and want_sparse
