@@ -18,6 +18,9 @@ for ds in Toys_and_Games Beauty Video_Games Home_and_Kitchen; do
       --lr_scales 0.05 0.1 0.2 0.3 0.5 0.7 1.0 1.5 \
       --out "$sweep" > "runs/r3/fanout_${ds}_lspm_lr.log" 2>&1
   fi
+  # ADVICE r3: a failed sweep (no JSON) must be reported, not silently
+  # fed into the optimum extraction as an empty $best
+  [ -s "$sweep" ] || { echo "sweep FAILED for $ds (no $sweep)"; continue; }
   out="runs/r3/fanout_${ds}_lspm8_tuned.json"
   if [ -s "$out" ]; then echo "skip $out (exists)"; continue; fi
   best=$(python - "$sweep" <<'EOF'
@@ -28,6 +31,9 @@ print(round(d["lr_scales"][i], 4))
 EOF
 )
   echo "$ds lspm lr optimum scale=$best"
+  # ADVICE r3: optimum == default lr -> the default envelope already
+  # covers it; a _tuned duplicate would shadow it without annotation
+  if [ "$best" = "1.0" ]; then echo "$ds optimum is default lr, skip tuned"; continue; fi
   python -m tlsan_tpu.train.ensemble --model lspm --dataset "$ds" \
     --max_epochs 10 \
     --lr_scales $best $best $best $best $best $best $best $best \
