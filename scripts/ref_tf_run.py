@@ -96,6 +96,10 @@ def main():
     p.add_argument("--train_seed", type=int, default=None,
                    help="override the hard-coded 1234 TRAIN seeds (init + "
                         "shuffle); the dataset builder seed stays 1234")
+    p.add_argument("--set_max_epochs", type=int, default=None,
+                   help="cap training epochs uniformly: appended as "
+                        "--max_epochs for flag-style train.py, patched into "
+                        "the module constant for BPR/Bi-LSTM")
     p.add_argument("--build-only", action="store_true")
     p.add_argument("train_flags", nargs="*",
                    help="passed through to the reference train.py")
@@ -120,6 +124,14 @@ def main():
                 "pd.value_counts = lambda x: pd.Series(x).value_counts()")
         if fname == "train.py" and args.fast:
             src = patch_fast(src)
+        if fname == "train.py" and args.set_max_epochs is not None:
+            if "DEFINE_integer('max_epochs'" in src:
+                args.train_flags.append(f"--max_epochs={args.set_max_epochs}")
+            else:  # BPR/Bi-LSTM module-level constant
+                src, n = re.subn(r"^max_epochs = \d+",
+                                 f"max_epochs = {args.set_max_epochs}",
+                                 src, flags=re.M)
+                assert n == 1, "max_epochs constant not found"
         if fname == "train.py" and args.train_seed is not None:
             for pat in ("random.seed(1234)", "np.random.seed(1234)",
                         "tf.set_random_seed(1234)"):

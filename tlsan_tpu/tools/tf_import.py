@@ -25,9 +25,16 @@ which has no state to migrate: TLSAN/train.py:38).
 
 Forward-pass equivalence of the mapped trees is transplant-proven at the
 1e-7 level for TLSAN / ATRank / SHAN (scripts/*_transplant.py,
-RESULTS.md) and validated end-to-end for the remaining families by
-importing reference checkpoints trained in this environment and
-reproducing their logged eval AUC (scripts/import_anchors.py).
+RESULTS.md) and validated end-to-end for every family by importing
+reference checkpoints trained in this environment and reproducing their
+logged eval AUC (scripts/import_anchors.py; artifacts under
+runs/ref_tf/import_anchors/).
+
+The inverse direction (EXPORT: framework params → a reference-loadable
+``tf.train.Saver`` checkpoint) lives here too — ``to_tf_vars`` +
+``write_tf_checkpoint``, CLI in tools/tf_export.py — so migration works
+both ways; the per-family maps are exercised round-trip (init →
+export → import → identical tree) in tests/test_tf_import.py.
 
 Usage:
   python -m tlsan_tpu.tools.tf_import --model shan \
@@ -142,6 +149,9 @@ def _import_tlsan(g):
     hints = dict(user_count=p["user_emb"].shape[0],
                  item_count=p["item_emb"].shape[0],
                  cate_count=p["cate_emb"].shape[0],
+                 itemid_embedding_size=p["item_emb"].shape[1],
+                 userid_embedding_size=p["user_emb"].shape[1],
+                 cateid_embedding_size=p["cate_emb"].shape[1],
                  Ls=p["usert_emb"].shape[1], num_blocks=b)
     return p, hints
 
@@ -183,7 +193,10 @@ def _import_atrank(g):
                                     "ffn": ffn(f"{s}/feed_forward")})
         b += 1
     hints = dict(item_count=p["item_emb"].shape[0],
-                 cate_count=p["cate_emb"].shape[0], num_blocks=b)
+                 cate_count=p["cate_emb"].shape[0], num_blocks=b,
+                 itemid_embedding_size=p["item_emb"].shape[1],
+                 cateid_embedding_size=p["cate_emb"].shape[1],
+                 hidden_units=p["time_b"].shape[0])
     return p, hints
 
 
@@ -193,7 +206,9 @@ def _import_shan(g):
          ("item_emb", "item_b", "user_emb",
           "layer1_w", "layer1_b", "layer2_w", "layer2_b")}
     hints = dict(user_count=p["user_emb"].shape[0],
-                 item_count=p["item_emb"].shape[0])
+                 item_count=p["item_emb"].shape[0],
+                 itemid_embedding_size=p["item_emb"].shape[1],
+                 userid_embedding_size=p["user_emb"].shape[1])
     return p, hints
 
 
@@ -203,7 +218,10 @@ def _import_bpr(g):
          "item_b": g("item_b"), "cate_emb": g("cate_emb_w")}
     hints = dict(user_count=p["user_emb"].shape[0],
                  item_count=p["item_emb"].shape[0],
-                 cate_count=p["cate_emb"].shape[0])
+                 cate_count=p["cate_emb"].shape[0],
+                 itemid_embedding_size=p["item_emb"].shape[1],
+                 cateid_embedding_size=p["cate_emb"].shape[1],
+                 bpr_user_embedding_size=p["user_emb"].shape[1])
     return p, hints
 
 
@@ -212,7 +230,8 @@ def _import_lspm(g):
     p = {"item_emb": g("item_emb_w"), "long_w": g("long_w"),
          "short_w": g("short_w")}
     hints = dict(user_count=p["long_w"].shape[0],
-                 item_count=p["item_emb"].shape[0])
+                 item_count=p["item_emb"].shape[0],
+                 itemid_embedding_size=p["item_emb"].shape[1])
     return p, hints
 
 
@@ -221,6 +240,7 @@ def _import_paca(g):
     p = {"item_emb": g("item_emb_w"), "position_w": g("weights_position"),
          "linear_w": g("weights_bilinear")}
     hints = dict(item_count=p["item_emb"].shape[0],
+                 itemid_embedding_size=p["item_emb"].shape[1],
                  paca_kernel_size=p["position_w"].shape[0],
                  paca_max_len=p["position_w"].shape[1])
     return p, hints
@@ -241,6 +261,9 @@ def _import_cnn(g):
         h += 1
     hints = dict(item_count=p["item_emb"].shape[0],
                  cate_count=p["cate_emb"].shape[0],
+                 itemid_embedding_size=p["item_emb"].shape[1],
+                 cateid_embedding_size=p["cate_emb"].shape[1],
+                 hidden_units=p["time_b"].shape[0],
                  cnn_filter_sizes=tuple(range(1, h)))
     return p, hints
 
@@ -258,7 +281,10 @@ def _import_bilstm(g):
          "out_w": g("dense/kernel"), "out_b": g("dense/bias")}
     hints = dict(user_count=p["user_emb"].shape[0],
                  item_count=p["item_emb"].shape[0],
-                 cate_count=p["cate_emb"].shape[0])
+                 cate_count=p["cate_emb"].shape[0],
+                 itemid_embedding_size=p["item_emb"].shape[1],
+                 cateid_embedding_size=p["cate_emb"].shape[1],
+                 lstm_hidden_units=p["user_emb"].shape[1])
     return p, hints
 
 
@@ -292,8 +318,10 @@ def _import_csan(g):
             "proj_w": g(f"{s}/dense/kernel"),
             "proj_b": g(f"{s}/dense/bias")})
         b += 1
+    # CSAN's widths are all multiples of the item embedding size
+    # (models/csan.py init_params), NOT hidden_units
     hints = dict(item_count=p["item_emb"].shape[0], num_blocks=b,
-                 hidden_units=p["item_emb"].shape[1])
+                 itemid_embedding_size=p["item_emb"].shape[1])
     return p, hints
 
 
@@ -302,6 +330,177 @@ _CONVERTERS = {"tlsan": _import_tlsan, "atrank": _import_atrank,
                "lspm": _import_lspm, "paca": _import_paca,
                "cnn": _import_cnn, "bilstm": _import_bilstm,
                "csan": _import_csan}
+
+
+# ---------------------------------------------------------------------------
+# Inverse maps (EXPORT): param tree → reference-named TF variables, undoing
+# the import-side transformations (conv1d kernel squeeze, gamma reshape).
+# Round-trip identity per family is tested in tests/test_tf_import.py.
+# ---------------------------------------------------------------------------
+
+def _export_fwa(blk, scope):
+    return {f"{scope}/bn_dense_map1/linear_map/W": blk["w1"],
+            f"{scope}/bn_dense_map1/linear_map/bias": blk["b1"],
+            f"{scope}/bn_dense_map2/linear_map/W": blk["w2"],
+            f"{scope}/bn_dense_map2/linear_map/bias": blk["b2"]}
+
+
+def _export_tlsan(p):
+    out = {"gamma_parameter": np.reshape(p["gamma"], ()),  # [] get_variable
+           "item_emb": p["item_emb"], "item_b": p["item_b"],
+           "user_emb": p["user_emb"], "usert_emb": p["usert_emb"],
+           "cate_emb": p["cate_emb"]}
+    for b, blk in enumerate(p["long"]):
+        s = f"all/long_term/num_blocks0_{b}"
+        out.update(_export_fwa(
+            blk, f"{s}/long_term_layer/feature_wise_attention1"))
+        out[f"{s}/dense/kernel"] = blk["proj_w"]
+        out[f"{s}/dense/bias"] = blk["proj_b"]
+    for b, blk in enumerate(p["short"]):
+        s = f"all/short_term/num_blocks1_{b}"
+        out.update(_export_fwa(
+            blk, f"{s}/short_term_layer/feature_wise_attention2"))
+    return out
+
+
+def _export_atrank(p):
+    def attn(scope, a):
+        return {f"{scope}/dense/kernel": a["wq"],
+                f"{scope}/dense/bias": a["bq"],
+                f"{scope}/dense_1/kernel": a["wk"],
+                f"{scope}/dense_1/bias": a["bk"],
+                f"{scope}/dense_2/kernel": a["wv"],
+                f"{scope}/dense_2/bias": a["bv"],
+                f"{scope}/ln/Variable": a["ln_beta"],
+                f"{scope}/ln/Variable_1": a["ln_gamma"]}
+
+    def ffn(scope, f):
+        return {f"{scope}/conv1d/kernel": np.asarray(f["w1"])[None],
+                f"{scope}/conv1d/bias": f["b1"],
+                f"{scope}/conv1d_1/kernel": np.asarray(f["w2"])[None],
+                f"{scope}/conv1d_1/bias": f["b2"],
+                f"{scope}/ln/Variable": f["ln_beta"],
+                f"{scope}/ln/Variable_1": f["ln_gamma"]}
+
+    out = {"item_emb_w": p["item_emb"], "item_b": p["item_b"],
+           "cate_emb_w": p["cate_emb"],
+           "dense/kernel": p["time_w"], "dense/bias": p["time_b"]}
+    for b, blk in enumerate(p["self_blocks"]):
+        s = f"all/user_hist_group/num_blocks_{b}"
+        out.update(attn(f"{s}/self_attention", blk["attn"]))
+        out.update(ffn(f"{s}/feed_forward", blk["ffn"]))
+    for b, blk in enumerate(p["vanilla_blocks"]):
+        s = f"all/item_feature_group/num_blocks_{b}"
+        out.update(attn(f"{s}/vanilla_attention", blk["attn"]))
+        out.update(ffn(f"{s}/feed_forward", blk["ffn"]))
+    return out
+
+
+def _export_shan(p):
+    return dict(p)  # 1:1 names (SHAN/model.py:52-77)
+
+
+def _export_bpr(p):
+    return {"user_emb_w": p["user_emb"], "item_emb_w": p["item_emb"],
+            "item_b": p["item_b"], "cate_emb_w": p["cate_emb"]}
+
+
+def _export_lspm(p):
+    return {"item_emb_w": p["item_emb"], "long_w": p["long_w"],
+            "short_w": p["short_w"]}
+
+
+def _export_paca(p):
+    return {"item_emb_w": p["item_emb"],
+            "weights_position": p["position_w"],
+            "weights_bilinear": p["linear_w"]}
+
+
+def _export_cnn(p):
+    out = {"item_emb_w": p["item_emb"], "item_b": p["item_b"],
+           "cate_emb_w": p["cate_emb"],
+           "dense/kernel": p["time_w"], "dense/bias": p["time_b"],
+           "dense_1/kernel": p["out_w"], "dense_1/bias": p["out_b"]}
+    for h, tower in enumerate(p["towers"], start=1):
+        out[f"conv-maxpool-{h}/W"] = tower["w"]
+        out[f"conv-maxpool-{h}/b"] = tower["b"]
+    return out
+
+
+def _export_bilstm(p):
+    rnn = "bidirectional_rnn/{d}/multi_rnn_cell/cell_0/lstm_cell/{v}"
+    return {"item_emb_w": p["item_emb"], "item_b": p["item_b"],
+            "cate_emb_w": p["cate_emb"], "user_emb_w": p["user_emb"],
+            rnn.format(d="fw", v="kernel"): p["lstm_fw_w"],
+            rnn.format(d="fw", v="bias"): p["lstm_fw_b"],
+            rnn.format(d="bw", v="kernel"): p["lstm_bw_w"],
+            rnn.format(d="bw", v="bias"): p["lstm_bw_b"],
+            "dense/kernel": p["out_w"], "dense/bias": p["out_b"]}
+
+
+def _export_csan(p):
+    def disan(scope, d):
+        return {f"{scope}/bn_dense_map/linear_map/W": d["map_w"],
+                f"{scope}/bn_dense_map/linear_map/bias": d["map_b"],
+                f"{scope}/disan_attention/linear_dependent/W": d["dep_w"],
+                f"{scope}/disan_attention/linear_head/W": d["head_w"],
+                f"{scope}/disan_attention/f_bias": d["f_bias"],
+                f"{scope}/disan_output/linear_fusion_a/W": d["fus_a_w"],
+                f"{scope}/disan_output/linear_fusion_a/bias": d["fus_a_b"],
+                f"{scope}/disan_output/linear_fusion_i/W": d["fus_i_w"],
+                f"{scope}/disan_output/linear_fusion_i/bias": d["fus_i_b"],
+                f"{scope}/disan_output/o_bias": d["o_bias"]}
+
+    out = {"item_emb": p["item_emb"], "item_b": p["item_b"]}
+    for b, blk in enumerate(p["blocks"]):
+        s = f"all/feature_wise_self_attention/num_blocks0_{b}"
+        fwsa = f"{s}/feature_wise_self_attention/feature_wise_self_attention"
+        out.update(disan(f"{s}/fwbw_attention/dir_attn_fw", blk["fw"]))
+        out.update(disan(f"{s}/fwbw_attention/dir_attn_bw", blk["bw"]))
+        out.update({f"{fwsa}/bn_dense_map1/linear_map/W": blk["fwsa"]["w1"],
+                    f"{fwsa}/bn_dense_map1/linear_map/bias": blk["fwsa"]["b1"],
+                    f"{fwsa}/bn_dense_map2/linear_map/W": blk["fwsa"]["w2"],
+                    f"{fwsa}/bn_dense_map2/linear_map/bias": blk["fwsa"]["b2"]})
+        out[f"{s}/dense/kernel"] = blk["proj_w"]
+        out[f"{s}/dense/bias"] = blk["proj_b"]
+    return out
+
+
+_EXPORTERS = {"tlsan": _export_tlsan, "atrank": _export_atrank,
+              "shan": _export_shan, "bpr": _export_bpr,
+              "lspm": _export_lspm, "paca": _export_paca,
+              "cnn": _export_cnn, "bilstm": _export_bilstm,
+              "csan": _export_csan}
+
+
+def to_tf_vars(model_name: str, params) -> Dict[str, np.ndarray]:
+    """Inverse of to_params: param tree → reference-named variable dict."""
+    if model_name not in _EXPORTERS:
+        raise KeyError(f"unknown model {model_name!r}; "
+                       f"one of {sorted(_EXPORTERS)}")
+    out = _EXPORTERS[model_name](params)
+    return {name: np.asarray(val, dtype=np.float32)
+            for name, val in out.items()}
+
+
+def write_tf_checkpoint(prefix: str, tf_vars: Dict[str, np.ndarray],
+                        step: int = 0, epoch: int = 0) -> str:
+    """Write the named variables as a ``tf.train.Saver`` checkpoint the
+    reference's ``model.restore()`` loads directly (TLSAN/model.py:309-313;
+    the Saver restores by variable name, so the extra counters are ignored
+    by families without them, e.g. BPR).  Needs a TF wheel."""
+    import tensorflow.compat.v1 as tf1
+    graph = tf1.Graph()
+    with graph.as_default():
+        for name, val in tf_vars.items():
+            tf1.Variable(initial_value=val, name=name)
+        tf1.Variable(np.int32(step), name="global_step", trainable=False)
+        tf1.Variable(np.int32(epoch), name="global_epoch_step",
+                     trainable=False)
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            return saver.save(sess, prefix, global_step=step)
 
 
 def to_params(model_name: str, tf_vars: Dict[str, np.ndarray]):
@@ -399,9 +598,12 @@ def main(argv=None):
         from tlsan_tpu.train.evaluate import Evaluator
 
         data_path = os.path.join(args.data_dir, f"{args.dataset}.pkl")
+        known = {f.name for f in
+                 __import__("dataclasses").fields(ModelConfig)}
+        counts = ("user_count", "item_count", "cate_count")
         cfg = ModelConfig(model=args.model,
-                          hidden_units=hints.get("hidden_units", 64),
-                          num_blocks=hints.get("num_blocks", 1))
+                          **{k: v for k, v in hints.items()
+                             if k in known and k not in counts})
         _, test_b, cate_list, cfg = prepare(args.model, data_path, cfg)
         for k in ("user_count", "item_count", "cate_count"):
             if k in hints and hints[k] != getattr(cfg, k):
