@@ -100,6 +100,11 @@ def main():
                    help="cap training epochs uniformly: appended as "
                         "--max_epochs for flag-style train.py, patched into "
                         "the module constant for BPR/Bi-LSTM")
+    p.add_argument("--save_every_eval", action="store_true",
+                   help="drop the best-AUC save gate (e.g. TLSAN/train.py:"
+                        "228 `test_auc > 0.8 and ...`) so EVERY eval step "
+                        "writes a checkpoint — anchor harness use, pairs "
+                        "each saved step with its logged Eval_AUC line")
     p.add_argument("--build-only", action="store_true")
     p.add_argument("train_flags", nargs="*",
                    help="passed through to the reference train.py")
@@ -124,6 +129,14 @@ def main():
                 "pd.value_counts = lambda x: pd.Series(x).value_counts()")
         if fname == "train.py" and args.fast:
             src = patch_fast(src)
+        if fname == "train.py" and args.save_every_eval:
+            src, n = re.subn(
+                r"if test_auc > [\d.]+ and test_auc > best_auc:|"
+                r"if best_auc < test_auc:",
+                "if True:  # --save_every_eval", src)
+            if n != 1:
+                print(f"[ref_tf_run] save gate not patched (n={n}) — "
+                      f"{args.model} saves on its own schedule", flush=True)
         if fname == "train.py" and args.set_max_epochs is not None:
             if "DEFINE_integer('max_epochs'" in src:
                 args.train_flags.append(f"--max_epochs={args.set_max_epochs}")
