@@ -147,9 +147,23 @@ def import_and_eval(fam, prefix, dataset, out_dir):
 def run_family(fam, ref_name, dataset, workdir, eval_freq, timeout_s, tol):
     t0 = time.time()
     log_path = os.path.join(workdir, f"{fam}_{dataset.lower()}.log")
-    rc, timed_out = run_reference(ref_name, dataset, workdir, eval_freq,
-                                  timeout_s, log_path)
     save_dir = os.path.join(workdir, f"{ref_name}_{dataset}", "save_path")
+    # Resume semantics: if a previous (possibly interrupted) reference run
+    # already left anchorable artifacts — a log with eval lines AND at least
+    # one readable Saver checkpoint — anchor from those instead of
+    # retraining.  Re-running the reference trainer would WIPE save_path
+    # (from_scratch=True default, e.g. reference TLSAN/train.py:124-127) and
+    # lose the checkpoints the interrupted run paid for.
+    rc, timed_out = None, False
+    have = (os.path.exists(log_path) and logged_aucs(log_path)
+            and os.path.isdir(save_dir) and checkpoints(save_dir))
+    if have:
+        print(f"[import_anchors] {fam}: anchoring from existing artifacts "
+              f"(no retrain)", flush=True)
+        rc = "resumed"
+    else:
+        rc, timed_out = run_reference(ref_name, dataset, workdir, eval_freq,
+                                      timeout_s, log_path)
     aucs = logged_aucs(log_path)
     ckpts = checkpoints(save_dir) if os.path.isdir(save_dir) else []
     result = {"family": fam, "reference": ref_name, "dataset": dataset,
@@ -197,33 +211,59 @@ def main():
                     default=os.path.join(REPO, "runs", "ref_tf",
                                          "import_anchors"))
     ap.add_argument("--tol", type=float, default=0.003)
+    ap.add_argument("--retry-failed", action="store_true",
+                    help="re-run families whose existing json has ok=false")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     wanted = set(args.families.split(","))
-    rows = []
     for fam, ref_name, eval_freq, timeout_s in FAMILIES:
         if fam not in wanted:
             continue
         out_json = os.path.join(args.workdir, f"{fam}_import.json")
         if os.path.exists(out_json):
-            rows.append(json.load(open(out_json)))
-            print(f"[import_anchors] skip {fam} (exists)", flush=True)
-            continue
-        row = run_family(fam, ref_name, args.dataset, args.workdir,
-                         eval_freq, timeout_s, args.tol)
+            prev = json.load(open(out_json))
+            if prev.get("ok") or not args.retry_failed:
+                print(f"[import_anchors] skip {fam} "
+                      f"(exists, ok={prev.get('ok')})", flush=True)
+                continue
+            print(f"[import_anchors] retry {fam} (previous ok=false)",
+                  flush=True)
+        # FAILED marker first (matrix-queue semantics): if this invocation
+        # is killed mid-family, the hole is visible, not silent.
+        json.dump({"family": fam, "dataset": args.dataset, "ok": False,
+                   "error": "FAILED: harness interrupted mid-family"},
+                  open(out_json, "w"), indent=2)
+        try:
+            row = run_family(fam, ref_name, args.dataset, args.workdir,
+                             eval_freq, timeout_s, args.tol)
+        except Exception as e:  # keep the queue going; marker records it
+            row = {"family": fam, "dataset": args.dataset, "ok": False,
+                   "error": f"FAILED: {type(e).__name__}: {e}"}
         json.dump(row, open(out_json, "w"), indent=2)
         print(f"[import_anchors] {fam}: "
               f"{json.dumps({k: row.get(k) for k in ('step', 'ref_logged_auc', 'import', 'delta', 'ok')})}",
               flush=True)
-        rows.append(row)
+        write_summary(args.workdir, args.dataset, args.tol)
 
-    summary = {"dataset": args.dataset, "tol": args.tol,
+    summary = write_summary(args.workdir, args.dataset, args.tol)
+    print(json.dumps({k: summary[k] for k in ("ok", "total")}))
+
+
+def write_summary(workdir, dataset, tol):
+    """Aggregate summary.json from ALL per-family jsons on disk — never from
+    one invocation's in-memory rows (the round-4 stale-summary bug)."""
+    rows = []
+    for fam, *_ in FAMILIES:
+        path = os.path.join(workdir, f"{fam}_import.json")
+        if os.path.exists(path):
+            rows.append(json.load(open(path)))
+    summary = {"dataset": dataset, "tol": tol,
                "ok": sum(1 for r in rows if r.get("ok")),
                "total": len(rows), "rows": rows}
-    json.dump(summary, open(os.path.join(args.workdir, "summary.json"), "w"),
+    json.dump(summary, open(os.path.join(workdir, "summary.json"), "w"),
               indent=2)
-    print(json.dumps({k: summary[k] for k in ("ok", "total")}))
+    return summary
 
 
 if __name__ == "__main__":
