@@ -90,10 +90,14 @@ def ref_restore_eval(fam, ref_name, export_dir, timeout=900):
     if not os.path.isdir(scratch):
         raise RuntimeError(f"no scratch dir {scratch} — run "
                            f"scripts/import_anchors.py first")
+    # same env the reference training itself needs (scripts/ref_tf_run.py):
+    # legacy keras for tf.compat.v1.layers.*, CPU-quiet TF
+    env = dict(os.environ, JAX_PLATFORMS="cpu", TF_CPP_MIN_LOG_LEVEL="3",
+               TF_USE_LEGACY_KERAS="1")
     r = run([sys.executable, os.path.join(REPO, "scripts",
                                           "ref_restore_eval.py"),
              "--family", fam, "--ckpt_dir", export_dir],
-            cwd=scratch, timeout=timeout)
+            cwd=scratch, timeout=timeout, env=env)
     if r.returncode != 0:
         raise RuntimeError(f"ref restore+eval failed: "
                            f"{(r.stderr or r.stdout)[-1500:]}")

@@ -100,17 +100,17 @@ def main():
         if args.family in ("tlsan",):
             _train, test_set, counts, item_cate_list = load_pickles(f, 4)
             user_count, item_count, cate_count = counts
-        elif args.family in ("atrank", "csan", "cnn"):
+        elif args.family in ("atrank", "cnn"):
             _train, test_set, cate_list, counts = load_pickles(f, 4)
             user_count, item_count, cate_count = counts
-        else:  # shan, lspm, paca: no category axis
+        else:  # shan, lspm, paca, csan: no category axis in dataset.pkl
             _train, test_set, counts = load_pickles(f, 3)
             user_count, item_count = counts[0], counts[1]
 
     config = OrderedDict(sorted(T.FLAGS.flag_values_dict().items()))
     config["user_count"] = user_count
     config["item_count"] = item_count
-    if args.family in ("tlsan", "atrank", "csan", "cnn"):
+    if args.family in ("tlsan", "atrank", "cnn"):
         config["cate_count"] = cate_count
 
     tf = T.tf
@@ -118,9 +118,12 @@ def main():
         if args.family == "tlsan":
             model = T.create_model(sess, config, item_cate_list)
             auc = T.eval_auc(sess, test_set, model, config)
-        elif args.family in ("atrank", "csan", "cnn"):
+        elif args.family in ("atrank", "cnn"):
             model = T.create_model(sess, config, cate_list)
             auc = T.eval_auc(sess, test_set, model)
+        elif args.family == "lspm":
+            model = T.create_model(sess, config)
+            auc = T.eval_auc(sess, test_set, model, config)
         else:
             model = T.create_model(sess, config)
             auc = T.eval_auc(sess, test_set, model)
