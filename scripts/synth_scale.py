@@ -51,8 +51,26 @@ def make_synthetic(users, items, cates, mean_reviews, seed=0):
     return df, cate_list
 
 
+# the three datasets whose pickles are stripped from this checkout, by
+# published statistics (reference README.md:18-23): users / items / cates /
+# mean behaviors-per-user.  Each stresses a different shape regime:
+# electronics = widest user axis, cds_vinyl = deepest catalogs + most items,
+# movies_tv = most samples with a tiny (15) category axis.
+SHAPES = {
+    "electronics": dict(users=39_991, items=22_048, cates=673,
+                        mean_reviews=14),
+    "cds_vinyl": dict(users=24_179, items=27_602, cates=310,
+                      mean_reviews=19),
+    "movies_tv": dict(users=35_896, items=28_589, cates=15,
+                      mean_reviews=26),
+}
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--shape", choices=sorted(SHAPES), default=None,
+                   help="preset users/items/cates/mean_reviews to a "
+                        "stripped dataset's published statistics")
     p.add_argument("--users", type=int, default=39_991)
     p.add_argument("--items", type=int, default=22_048)
     p.add_argument("--cates", type=int, default=673)
@@ -81,6 +99,9 @@ def main():
                         "examples/s — bounded-cost mode for the CPU-mesh "
                         "sparse-vs-dense crossover study")
     args = p.parse_args()
+    if args.shape:
+        for k, v in SHAPES[args.shape].items():
+            setattr(args, k, v)
 
     if args.platform == "cpu":
         import jax
@@ -139,7 +160,8 @@ def main():
         dt = time.perf_counter() - t0
         n_ex = args.max_chunks * args.steps_per_call * args.batch
         print(json.dumps({
-            "metric": "synth_chunk_examples_per_sec",
+            "metric": f"synth_chunk_examples_per_sec",
+            "shape": args.shape or "electronics",
             "value": round(n_ex / dt, 1), "unit": "examples/s",
             "chunks": args.max_chunks, "total_s": round(dt, 1),
             "users": args.users, "items": args.items,
@@ -163,7 +185,7 @@ def main():
                 rates.append(rec["examples_per_s"])
     eps = max(rates) if rates else train_b.n * args.epochs / dt
     print(json.dumps({
-        "metric": "synth_electronics_scale_examples_per_sec",
+        "metric": f"synth_{args.shape or 'electronics'}_scale_examples_per_sec",
         "value": round(eps, 1), "unit": "examples/s",
         "total_s": round(dt, 1),
         "train_n": train_b.n, "users": args.users, "items": args.items,
