@@ -29,14 +29,19 @@ R5 = os.path.join(REPO, "runs", "r5")
 PY = sys.executable
 
 # (model, dataset, published-protocol epochs, published AUC —
-#  /root/reference/README.md:30-41)
+#  /root/reference/README.md:30-41, extra protocol args)
 CELLS = [
-    ("tlsan", "Office_Products", 20, 0.9773),
-    ("tlsan", "Beauty", 20, 0.9368),
-    ("tlsan", "Home_and_Kitchen", 20, 0.8950),
-    ("tlsan", "Video_Games", 20, 0.9459),
-    ("tlsan", "Toys_and_Games", 20, 0.9309),
-    ("shan", "Video_Games", 40, 0.9216),
+    ("tlsan", "Office_Products", 20, 0.9773, []),
+    ("tlsan", "Beauty", 20, 0.9368, []),
+    ("tlsan", "Home_and_Kitchen", 20, 0.8950, []),
+    ("tlsan", "Video_Games", 20, 0.9459, []),
+    ("tlsan", "Toys_and_Games", 20, 0.9309, []),
+    ("shan", "Video_Games", 40, 0.9216, []),
+    # second pass: the remaining below-published cells with no tuned probe
+    # (published protocols per SURVEY §2.6 / train/cli.py defaults)
+    ("cnn", "Office_Products", 20, 0.8930, ["--lr_drop_step", 540000]),
+    ("bilstm", "Office_Products", 20, 0.8628, ["--lr_drop_step", 270000]),
+    ("shan", "Office_Products", 40, 0.9576, []),
 ]
 
 SCALES = [0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 1.0, 1.5]
@@ -75,8 +80,9 @@ def ensure(out, *extra):
 def main():
     os.makedirs(R5, exist_ok=True)
     rows = []
-    for model, ds, epochs, pub in CELLS:
-        base = ["--model", model, "--dataset", ds, "--max_epochs", epochs]
+    for model, ds, epochs, pub, extra in CELLS:
+        base = ["--model", model, "--dataset", ds,
+                "--max_epochs", epochs] + list(extra)
         row = {"model": model, "dataset": ds, "published": pub,
                "epochs": epochs}
 
@@ -123,7 +129,8 @@ def main():
             ext = ensure(
                 os.path.join(R5, f"fanout_{ds}_{model}8_ep{2*epochs}.json"),
                 "--model", model, "--dataset", ds,
-                "--max_epochs", 2 * epochs, "--lr_scales", *([opt] * 8))
+                "--max_epochs", 2 * epochs, *extra,
+                "--lr_scales", *([opt] * 8))
             if ext:
                 row[f"ep{2*epochs}_mean"] = ext["mean_best"]
                 row[f"ep{2*epochs}_range"] = ext["range"]
