@@ -46,6 +46,12 @@ CELLS = [
 
 SCALES = [0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 1.0, 1.5]
 
+# families whose REFERENCE model actually applies the dropout flag — SHAN
+# reads config['dropout'] into a dead variable (SHAN/model.py:91, never
+# used) and Bi-LSTM has no dropout at all, so a dropout axis there would
+# re-measure the lr envelope under a different name
+DROPOUT_FAMILIES = {"tlsan", "cnn", "atrank", "csan"}
+
 
 def fanout(out, *extra):
     cmd = [PY, "-m", "tlsan_tpu.train.ensemble", "--out", out]
@@ -113,7 +119,7 @@ def main():
                   f"the matrix envelope already measures it", flush=True)
 
         still_below = (best_envelope_max or max(sweep["best_auc"])) < pub
-        if still_below:
+        if still_below and model in DROPOUT_FAMILIES:
             for do in (0.1, 0.3):
                 leg = ensure(
                     os.path.join(R5, f"fanout_{ds}_{model}8_do{do}.json"),
