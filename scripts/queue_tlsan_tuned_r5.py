@@ -53,13 +53,22 @@ SCALES = [0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 1.0, 1.5]
 DROPOUT_FAMILIES = {"tlsan", "cnn", "atrank", "csan"}
 
 
-def fanout(out, *extra):
+def fanout(out, *extra, timeout_s=4800):
+    """Per-leg cap (matrix-queue lesson, VERDICT r3 #7 fix): a dropped
+    tunnel RPC sleeps forever and exit-code retries can't see it, so a
+    wedged leg must die visibly instead of wedging the whole queue."""
     cmd = [PY, "-m", "tlsan_tpu.train.ensemble", "--out", out]
     cmd += [str(a) for a in extra]
     log = out.replace(".json", ".log")
-    print(f"[tuned_r5] {' '.join(cmd)}", flush=True)
+    print(f"[tuned_r5] {' '.join(cmd)} (cap {timeout_s}s)", flush=True)
     with open(log, "w") as f:
-        rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT).returncode
+        try:
+            rc = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                                timeout=timeout_s).returncode
+        except subprocess.TimeoutExpired:
+            print(f"[tuned_r5] TIMEOUT after {timeout_s}s — see {log}",
+                  flush=True)
+            return False
     if rc != 0:
         print(f"[tuned_r5] FAILED rc={rc} — see {log}", flush=True)
     return rc == 0
