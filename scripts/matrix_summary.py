@@ -17,6 +17,7 @@ import re
 
 RUNS = os.path.join(os.path.dirname(__file__), "..", "runs", "r3")
 RUNS_R4 = os.path.join(os.path.dirname(__file__), "..", "runs", "r4")
+RUNS_R5 = os.path.join(os.path.dirname(__file__), "..", "runs", "r5")
 REF_TF = os.path.join(os.path.dirname(__file__), "..", "runs", "ref_tf")
 
 FAMILIES = ["atrank", "bpr", "cnn", "csan", "lspm", "paca", "bilstm",
@@ -133,9 +134,20 @@ LR_TUNED = {("Clothing_Shoes_and_Jewelry", "lspm"), ("Digital_Music", "lspm")}
 # is unreachable at the reference's own default flags — RESULTS.md probes)
 EPOCH_EXTENDED = {("Digital_Music", "csan")}
 
+# round-5 tuned-protocol probe (scripts/queue_tlsan_tuned_r5.py): Beauty is
+# the one TLSAN cell whose published number is reached under a tuned
+# protocol — lr 0.7 + dropout 0.1 (RESULTS.md r5 probe table); annotated so
+# the default-protocol envelope (runs/r4) stays the honest headline for the
+# other cells
+DROPOUT_TUNED = {("Beauty", "tlsan")}
+
 # envelope JSON per (dataset, family) — naming grew across the round, so the
 # two legacy dataset columns are special-cased
 def cell_paths(ds, fam):
+    if (ds, fam) in DROPOUT_TUNED:
+        p = os.path.join(RUNS_R5, f"fanout_{ds}_{fam}8_do0.1.json")
+        if os.path.exists(p):
+            return [p]
     if fam == "shan":
         # round 4 fixed SHAN's static-pad softmax-width bug (models/shan.py
         # per-batch limit); the fixed-model envelopes live in runs/r4 and
@@ -223,6 +235,8 @@ def main():
             scales = set(cell.get("lr_scales", [1.0]))
             tuned = ("" if scales == {1.0} and (ds, fam) not in LR_TUNED
                      else " (lr-tuned)")
+            if (ds, fam) in DROPOUT_TUNED:
+                tuned = " (lr+dropout-tuned)"
             if (ds, fam) in EPOCH_EXTENDED:
                 tuned += " (epoch-extended)"
             code = REF_IN_ENV.get((ds, fam))
