@@ -141,11 +141,21 @@ EPOCH_EXTENDED = {("Digital_Music", "csan")}
 # other cells
 DROPOUT_TUNED = {("Beauty", "tlsan")}
 
+# round-5 second-pass probe: CNN/Office_Products reaches its published
+# 0.8930 at lr scale 0.5 (single-seed sweep 0.8936; 8-seed envelope
+# [0.8860, 0.9006] contains it — RESULTS.md r5 probe table, the one cell
+# that previously had neither a protocol-end code anchor nor a tuned probe)
+R5_LR_TUNED = {("Office_Products", "cnn")}
+
 # envelope JSON per (dataset, family) — naming grew across the round, so the
 # two legacy dataset columns are special-cased
 def cell_paths(ds, fam):
     if (ds, fam) in DROPOUT_TUNED:
         p = os.path.join(RUNS_R5, f"fanout_{ds}_{fam}8_do0.1.json")
+        if os.path.exists(p):
+            return [p]
+    if (ds, fam) in R5_LR_TUNED:
+        p = os.path.join(RUNS_R5, f"fanout_{ds}_{fam}8_lrtuned.json")
         if os.path.exists(p):
             return [p]
     if fam == "shan":
