@@ -132,7 +132,7 @@ LR_TUNED = {("Clothing_Shoes_and_Jewelry", "lspm"), ("Digital_Music", "lspm")}
 
 # cells whose envelope used an extended epoch budget (the published number
 # is unreachable at the reference's own default flags — RESULTS.md probes)
-EPOCH_EXTENDED = {("Digital_Music", "csan")}
+EPOCH_EXTENDED = {("Digital_Music", "csan"), ("Office_Products", "shan")}
 
 # round-5 tuned-protocol probe (scripts/queue_tlsan_tuned_r5.py): Beauty is
 # the one TLSAN cell whose published number is reached under a tuned
@@ -147,6 +147,12 @@ DROPOUT_TUNED = {("Beauty", "tlsan")}
 # that previously had neither a protocol-end code anchor nor a tuned probe)
 R5_LR_TUNED = {("Office_Products", "cnn")}
 
+# SHAN/Office_Products reaches its published 0.9576 at lr scale 1.5 with the
+# 2x epoch extension and the 16-seed draw (ep80 base + _ext merge below:
+# envelope [0.9535, 0.9581] — RESULTS.md r5 probe table); annotated
+# "(lr-tuned) (epoch-extended)" via the sets above/below
+R5_EPOCH_TUNED = {("Office_Products", "shan")}
+
 # envelope JSON per (dataset, family) — naming grew across the round, so the
 # two legacy dataset columns are special-cased
 def cell_paths(ds, fam):
@@ -156,6 +162,10 @@ def cell_paths(ds, fam):
             return [p]
     if (ds, fam) in R5_LR_TUNED:
         p = os.path.join(RUNS_R5, f"fanout_{ds}_{fam}8_lrtuned.json")
+        if os.path.exists(p):
+            return [p]
+    if (ds, fam) in R5_EPOCH_TUNED:
+        p = os.path.join(RUNS_R5, f"fanout_{ds}_{fam}8_ep80.json")
         if os.path.exists(p):
             return [p]
     if fam == "shan":
