@@ -201,24 +201,28 @@ def cell_paths(ds, fam):
 
 
 def load_cell(ds, fam):
-    """Merge the base envelope with any seed-extension file
-    (<name>_ext.json, written by the near-miss follow-up pass)."""
+    """Merge the base envelope with any seed-extension files
+    (<name>_ext.json / _ext2.json, written by the near-miss follow-up
+    passes — each an additional batch of distinct seeds at the SAME
+    protocol)."""
     for name in cell_paths(ds, fam):
         p = os.path.join(RUNS, name)
         if not os.path.exists(p):
             continue
         with open(p) as f:
             cell = json.load(f)
-        ext_p = p.replace(".json", "_ext.json")
-        if os.path.exists(ext_p):
+        for suffix in ("_ext.json", "_ext2.json"):
+            ext_p = p.replace(".json", suffix)
+            if not os.path.exists(ext_p):
+                continue
             with open(ext_p) as f:
                 ext = json.load(f)
             cell["seeds"] = cell["seeds"] + ext["seeds"]
             cell["best_auc"] = cell["best_auc"] + ext["best_auc"]
             cell["lr_scales"] = cell["lr_scales"] + ext["lr_scales"]
-            aucs = cell["best_auc"]
-            cell["mean_best"] = round(sum(aucs) / len(aucs), 6)
-            cell["range"] = [min(aucs), max(aucs)]
+        aucs = cell["best_auc"]
+        cell["mean_best"] = round(sum(aucs) / len(aucs), 6)
+        cell["range"] = [min(aucs), max(aucs)]
         return cell
     return None
 
