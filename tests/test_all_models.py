@@ -145,3 +145,49 @@ def test_cnn_short_window():
 
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+# families whose reference model applies the --dropout flag at train time
+# (TLSAN/train.py:30, ATRank/model.py attention dropout, CNN/model.py,
+# CSAN/model.py:273-297,385 — SHAN's flag is a dead variable, Bi-LSTM/LSPM/
+# PACA/BPR have none)
+DROPOUT_MODELS = ["tlsan", "atrank", "cnn", "csan"]
+
+
+@pytest.mark.parametrize("name", DROPOUT_MODELS)
+def test_dropout_engages_and_is_eval_neutral(name):
+    """Regression for the round-5 CSAN finding: a model silently ignoring
+    cfg.dropout makes dropout-axis studies no-ops.  For every family whose
+    reference applies dropout: (a) train-time loss must depend on the
+    dropout_rng when dropout > 0, (b) dropout=0 with an rng must be
+    bit-identical to the no-rng eval path."""
+    rng = np.random.default_rng(3)
+    cfg = ModelConfig(model=name, user_count=USERS, item_count=ITEMS,
+                      cate_count=CATES, Ls=10, Ts=8, max_length=12,
+                      cnn_pad_length=20, paca_max_len=12,
+                      hidden_units=32 if name == "csan" else 64,
+                      dropout=0.3)
+    model = get_model(name)
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    cate_list = jnp.asarray(rng.integers(0, CATES, ITEMS), jnp.int32)
+    batch = make_batch(name, rng)
+
+    base_loss = float(model.loss(params, batch, cate_list, cfg,
+                                 use_pallas=False))
+    l1 = float(model.loss(params, dict(batch, dropout_rng=jax.random.PRNGKey(1)),
+                          cate_list, cfg, use_pallas=False))
+    l2 = float(model.loss(params, dict(batch, dropout_rng=jax.random.PRNGKey(2)),
+                          cate_list, cfg, use_pallas=False))
+    assert l1 != l2 or l1 != base_loss, \
+        f"{name}: dropout_rng has no effect at dropout=0.3"
+
+    cfg0 = ModelConfig(model=name, user_count=USERS, item_count=ITEMS,
+                       cate_count=CATES, Ls=10, Ts=8, max_length=12,
+                       cnn_pad_length=20, paca_max_len=12,
+                       hidden_units=32 if name == "csan" else 64,
+                       dropout=0.0)
+    params0 = model.init_params(jax.random.PRNGKey(0), cfg0)
+    e0 = float(model.loss(params0, batch, cate_list, cfg0, use_pallas=False))
+    e1 = float(model.loss(params0, dict(batch, dropout_rng=jax.random.PRNGKey(1)),
+                          cate_list, cfg0, use_pallas=False))
+    assert e0 == e1, f"{name}: dropout=0 train path diverges from eval path"

@@ -26,7 +26,7 @@ from tlsan_tpu.core.config import ModelConfig
 from tlsan_tpu.models import base
 from tlsan_tpu.nn.embedding import lookup
 from tlsan_tpu.nn.init import glorot_uniform
-from tlsan_tpu.nn.layers import dense
+from tlsan_tpu.nn.layers import dense, dropout
 from tlsan_tpu.nn.masks import VERY_NEGATIVE_NUMBER, sequence_mask
 
 KEY_MASK_VALUE = -(2.0 ** 32) + 1
@@ -36,14 +36,36 @@ def _scaled_tanh(x, scale=5.0):
     return scale * jnp.tanh(x / scale)
 
 
-def _directional_attention(x, rep_time, sl, p, forward: bool):
-    """One direction of DiSAN attention (CSAN/model.py:351-419)."""
+def _rng_iter(rng):
+    """Yield independent subkeys (None forever when rng is None — eval or
+    dropout 0, where nn.layers.dropout is a no-op)."""
+    while True:
+        if rng is None:
+            yield None
+        else:
+            rng, sub = jax.random.split(rng)
+            yield sub
+
+
+def _directional_attention(x, rep_time, sl, p, forward: bool,
+                           dropout_rate=0.0, rng=None):
+    """One direction of DiSAN attention (CSAN/model.py:351-419).
+
+    Dropout placement mirrors the reference exactly (train only):
+    input-dropout before the map dense (bn_dense_layer keep_prob,
+    CSAN/model.py:383), rep_map_dp feeding dependent/head (:385,391-392),
+    and input-dropout inside both fusion-gate linears (:407-408).  The
+    attention value (rep_map_tile) and the gate's convex combination use
+    the UN-dropped rep_map, as in the reference."""
     B, T, E = x.shape
     rep_mask = sequence_mask(sl, T)  # [B, T]
+    ks = _rng_iter(rng)
 
-    rep_map = dense(x, p["map_w"], p["map_b"], jax.nn.relu)
-    dependent = dense(rep_map, p["dep_w"])   # [B, T, E]
-    head = dense(rep_map, p["head_w"])       # [B, T, E]
+    rep_map = dense(dropout(x, dropout_rate, next(ks)),
+                    p["map_w"], p["map_b"], jax.nn.relu)
+    rep_map_dp = dropout(rep_map, dropout_rate, next(ks))
+    dependent = dense(rep_map_dp, p["dep_w"])   # [B, T, E]
+    head = dense(rep_map_dp, p["head_w"])       # [B, T, E]
     # logits[b, th, td, d] = scaled_tanh(dep[b,td,d] + head[b,th,d] + f_bias)
     logits = _scaled_tanh(
         dependent[:, None, :, :] + head[:, :, None, :] + p["f_bias"])
@@ -64,19 +86,25 @@ def _directional_attention(x, rep_time, sl, p, forward: bool):
                              precision="highest")
 
     gate = jax.nn.sigmoid(
-        dense(rep_map, p["fus_i_w"], p["fus_i_b"])
-        + dense(attn_result, p["fus_a_w"], p["fus_a_b"])
+        dense(dropout(rep_map, dropout_rate, next(ks)),
+              p["fus_i_w"], p["fus_i_b"])
+        + dense(dropout(attn_result, dropout_rate, next(ks)),
+                p["fus_a_w"], p["fus_a_b"])
         + p["o_bias"])
     out = gate * rep_map + (1.0 - gate) * attn_result
     return out * rep_mask[:, :, None].astype(out.dtype)
 
 
-def _feature_wise_self_attention(x, sl, p):
+def _feature_wise_self_attention(x, sl, p, dropout_rate=0.0, rng=None):
     """Elementwise soft·rep over the time-masked softmax
-    (CSAN/model.py:422-442 — output keeps the [B, T, 2E] shape)."""
+    (CSAN/model.py:422-442 — output keeps the [B, T, 2E] shape).
+    Input-dropout before both map denses (bn_dense_layer keep_prob,
+    CSAN/model.py:429-432); the soft·rep product uses the un-dropped x."""
     T = x.shape[1]
-    m1 = dense(x, p["w1"], p["b1"], jax.nn.relu)
-    m2 = dense(m1, p["w2"], p["b2"])
+    ks = _rng_iter(rng)
+    m1 = dense(dropout(x, dropout_rate, next(ks)),
+               p["w1"], p["b1"], jax.nn.relu)
+    m2 = dense(dropout(m1, dropout_rate, next(ks)), p["w2"], p["b2"])
     mask = sequence_mask(sl, T)
     m2 = m2 + ((1.0 - mask.astype(m2.dtype)) * VERY_NEGATIVE_NUMBER)[:, :, None]
     soft = jax.nn.softmax(m2, axis=1)
@@ -143,15 +171,23 @@ class CSAN:
         return params
 
     @staticmethod
-    def _encode_history(params, batch):
-        """Query-independent DiSAN encoder (run once per batch)."""
+    def _encode_history(params, batch, cfg: ModelConfig = None):
+        """Query-independent DiSAN encoder (run once per batch).  Dropout
+        (reference CSAN/train.py --dropout, default 0.0) engages only when
+        the batch carries a train-time dropout_rng."""
         enc = lookup(params["item_emb"], batch["hist_i"])
         sl, rep_time = batch["sl"], batch["hist_t"]
+        rate = cfg.dropout if cfg is not None else 0.0
+        rng = batch.get("dropout_rng") if rate > 0.0 else None
+        ks = _rng_iter(rng)
         for blk in params["blocks"]:
-            fw = _directional_attention(enc, rep_time, sl, blk["fw"], True)
-            bw = _directional_attention(enc, rep_time, sl, blk["bw"], False)
+            fw = _directional_attention(enc, rep_time, sl, blk["fw"], True,
+                                        rate, next(ks))
+            bw = _directional_attention(enc, rep_time, sl, blk["bw"], False,
+                                        rate, next(ks))
             enc = _feature_wise_self_attention(
-                jnp.concatenate([fw, bw], axis=-1), sl, blk["fwsa"])
+                jnp.concatenate([fw, bw], axis=-1), sl, blk["fwsa"],
+                rate, next(ks))
             enc = dense(enc, blk["proj_w"], blk["proj_b"])
         return enc
 
@@ -164,7 +200,7 @@ class CSAN:
 
     @staticmethod
     def user_repr(params, batch, cate_list, cfg: ModelConfig, use_pallas=True):
-        enc = CSAN._encode_history(params, batch)
+        enc = CSAN._encode_history(params, batch, cfg)
         return CSAN._readout(params, enc, batch["i"], batch["sl"])
 
     @staticmethod
@@ -189,7 +225,7 @@ class CSAN:
         # target-conditioned readout for pos and neg, but the DiSAN encoder
         # is query-independent and runs ONCE (the reference recomputes it in
         # two sess.runs)
-        enc = CSAN._encode_history(params, batch)
+        enc = CSAN._encode_history(params, batch, cfg)
         u_pos = CSAN._readout(params, enc, batch["i"], batch["sl"])
         u_neg = CSAN._readout(params, enc, batch["j"], batch["sl"])
         pe, pb = CSAN.item_repr(params, batch["i"], cate_list, cfg)
